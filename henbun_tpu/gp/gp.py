@@ -1,0 +1,129 @@
+"""Whitened (sparse) GP posterior sampling.
+
+Parity with `/root/reference/Henbun/gp/gp.py:9-192`: ``GP`` (samples =
+u @ Cholesky(K(x))^T) and ``SparseGP`` (inducing points z; samples =
+u @ (Lm^-1 Kmn) plus an 'additional covariance' correction in
+{'diagonal','neglected','fullrank'} flavors).
+
+TPU-native notes: triangular solves and Cholesky batch natively over leading
+axes; the batched branch broadcasts z against [N, n, d] in a single batched
+matmul rather than the reference's tile+matmul (`gp.py:167-172`); correction
+noise draws an explicit PRNG key from the trace context.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import context as _ctx
+from ..core.param import Variable, Parameterized, graph_key
+from .._settings import settings
+from ..ops.linalg import eye, matmul_hp
+
+
+def _float_type():
+    return settings.dtypes.float_type
+
+
+class GP(Parameterized):
+    """Sample from the whitened GP posterior: mean L*u.q_mu, covariance
+    (L*u.q_sqrt)(L*u.q_sqrt)^T, with L = chol(K(x,x)) (cf. gp.py:9-50).
+
+    Typical usage:
+    >>> gp = hb.gp.GP(hb.gp.kernels.UnitRBF())
+    >>> u = hb.variationals.Normal(shape=[N, n])
+    >>> samples = gp.samples(x, u)   # inside a traced objective
+    """
+
+    def __init__(self, kern):
+        Parameterized.__init__(self)
+        self.kern = kern
+
+    def samples(self, x, u):
+        """x: [n, d] coordinates; u: whitened variational sample [N, n].
+        Returns posterior samples sized [N, n]."""
+        L = self.kern.Cholesky(x)  # [n, n]
+        return matmul_hp(u, jnp.swapaxes(L, -1, -2))
+
+
+class SparseGP(GP):
+    """Sparse (inducing-point) approximation of the GP posterior
+    (cf. gp.py:53-192). Posterior: N(Knm Lm^-T q_mu,
+    (Knn - Knm Kmm^-1 Kmn) + (Knm Lm^-T q_sqrt)^2)."""
+
+    def __init__(self, kern, z, collections=None):
+        """z: [m, d] np.array of initial inducing point locations."""
+        GP.__init__(self, kern)
+        collections = collections if collections is not None else [graph_key.VARIABLES]
+        self.z = Variable(shape=z.shape, collections=collections)
+        self.z = z  # deferred assign of the initial value
+        self.m = len(z)
+
+    def samples(self, x, u, q_shape="diagonal"):
+        """x: [n, d] or batched [N, n, d]; u: whitened inducing values [N, m].
+        q_shape: how to treat Knn - Knm Kmm^-1 Kmn
+        ('diagonal' default / 'neglected' / 'fullrank')."""
+        assert q_shape in ["diagonal", "neglected", "fullrank"]
+        jitter = settings.numerics.jitter_level
+        N = u.shape[0]
+        ctx = _ctx.current()
+
+        LnT = self._effective_LT(x)  # [m, n] or [N, m, n]
+        if x.ndim == 2:
+            samples = matmul_hp(u, LnT)  # [N, m] @ [m, n] -> [N, n]
+        elif x.ndim == 3:
+            # [N, 1, m] @ [N, m, n] -> [N, n]
+            samples = jnp.squeeze(matmul_hp(u[:, None, :], LnT), -2)
+        else:
+            raise ValueError("x must be [n, d] or [N, n, d]")
+
+        if q_shape == "neglected":
+            return samples
+        elif q_shape == "diagonal":
+            diag_cov = self._additional_cov(x, LnT, "diagonal")
+            noise = jax.random.normal(
+                ctx.tagged_key("sparse_gp_diag"), x.shape[:-1], dtype=_float_type()
+            )
+            return samples + jnp.sqrt(jnp.abs(diag_cov)) * noise
+        else:  # fullrank
+            jitterI = eye(x.shape[-2]) * jitter
+            chol = jnp.linalg.cholesky(
+                self._additional_cov(x, LnT, "fullrank") + jitterI
+            )
+            if x.ndim == 2:
+                noise = jax.random.normal(
+                    ctx.tagged_key("sparse_gp_full"), (N, x.shape[0]),
+                    dtype=_float_type(),
+                )
+                return samples + matmul_hp(noise, jnp.swapaxes(chol, -1, -2))
+            # batched: [N, 1, n] @ [N, n, n]^T -> [N, n]
+            noise = jax.random.normal(
+                ctx.tagged_key("sparse_gp_full"), (N, 1, x.shape[1]),
+                dtype=_float_type(),
+            )
+            return jnp.squeeze(
+                matmul_hp(noise, jnp.swapaxes(chol, -1, -2)), -2
+            ) + samples
+
+    def _effective_LT(self, x):
+        """Lm^-1 Kmn with Lm Lm^T = Kmm (cf. gp.py:146-174).
+        x: [n, d] -> [m, n]; x: [N, n, d] -> [N, m, n]."""
+        Lm = self.kern.Cholesky(self.z)  # [m, m]
+        if x.ndim == 2:
+            return jax.scipy.linalg.solve_triangular(
+                Lm, self.kern.K(self.z, x), lower=True
+            )
+        if x.ndim == 3:
+            Lminv = jax.scipy.linalg.solve_triangular(Lm, eye(self.m), lower=True)
+            # broadcast z against the batch axis: [1,m,d] vs [N,n,d] -> [N,m,n]
+            Kmn = self.kern.K(self.z[None, :, :], x)
+            return matmul_hp(Lminv[None, :, :], Kmn)
+        raise ValueError("shape is not specified for tensor x")
+
+    def _additional_cov(self, x, LnT, q_shape):
+        """Knn - Knm Kmm^-1 Kmn, diagonal or full (cf. gp.py:177-192)."""
+        if q_shape == "diagonal":
+            return self.kern.Kdiag(x) - jnp.sum(jnp.square(LnT), -2)
+        Knn = self.kern.K(x)
+        return Knn - matmul_hp(jnp.swapaxes(LnT, -1, -2), LnT)

@@ -1,0 +1,379 @@
+"""Model base class and the compiled training driver.
+
+Capability parity with `/root/reference/Henbun/model.py` (269 LoC): ``Model``
+(tree root, ``setUp``, ``initialize``, ``run``, ``validate``,
+``test_feed_dict``), ``Indexer`` (shuffled 90/10 train/test split with
+random-with-replacement minibatch draws), the ``AutoOptimize`` decorator and
+the ``Optimizer`` (``compile`` / ``run`` / ``optimize``).
+
+TPU-native redesign of the hot loop: the reference runs ONE optimizer step per
+``session.run``, crossing the Python↔runtime boundary and feeding the
+minibatch host→device every iteration (`model.py:255-269`). Here the
+objective, gradient, Adam update and the minibatch *gather* are one jitted
+function, and `lax.scan` runs ``settings.tpu.scan_chunk`` optimization steps
+per device call with donated parameter buffers. Data lives on device; the
+per-step minibatch index is drawn on device with `jax.random`. This removes
+both the per-step dispatch overhead and the per-step host feed.
+"""
+from __future__ import annotations
+
+from functools import wraps
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ._settings import settings, np_float
+from .core import context as _ctx
+from .core import rng as _rng
+from .core.param import (
+    Parentable,
+    Variable,
+    Parameterized,
+    Data,
+    MinibatchData,
+    graph_key,
+)
+
+
+class Model(Parameterized):
+    """Tree root; subclasses define parameters in setUp and objectives as
+    methods decorated with @AutoOptimize() (cf. model.py:13-123)."""
+
+    def __init__(self, name="model", seed=None, **kw):
+        Parameterized.__init__(self)
+        self._name = name
+        self._index = Indexer()
+        if seed is None:
+            seed = int(_rng.get_rng().integers(0, 2**31 - 1))
+        self._base_key = jax.random.PRNGKey(seed)
+        self._key_count = 0
+        self.setUp(**kw)
+
+    @property
+    def name(self):
+        return self._name
+
+    def setUp(self):
+        """Parameter definitions belong here; overridden by subclasses."""
+        pass
+
+    def _next_key(self):
+        self._key_count += 1
+        return jax.random.fold_in(self._base_key, self._key_count)
+
+    def run(self, fn, feed_dict=None, minibatch_index=None, key=None, training=True):
+        """Evaluate `fn(model)` under a trace with the full data (or the given
+        minibatch index) and the current committed parameters.
+
+        The functional analog of the reference's ``Model.run(tensor)``
+        (model.py:84-96): each call draws fresh reparameterization noise, so
+        repeated calls give fresh posterior samples.
+        """
+        self.initialize()
+        params = self.param_dict()
+        data = self._gather_data(minibatch_index)
+        if feed_dict:
+            data.update(feed_dict)
+        if key is None:
+            key = self._next_key()
+        with _ctx.trace(self, params, data, key, training=training):
+            return fn(self)
+
+    def _gather_data(self, minibatch_index=None):
+        out = {}
+        for v in self.get_variables(graph_key.DATA):
+            path = v.path_to(self)
+            if isinstance(v, MinibatchData) and minibatch_index is not None:
+                out[path] = jnp.asarray(v.data)[jnp.asarray(minibatch_index)]
+            else:
+                out[path] = jnp.asarray(v.data)
+        return out
+
+    def validate(self):
+        """Check minibatch data sizes agree and (re)set up the Indexer
+        (cf. model.py:98-117). Unfed LOCAL variables are caught at trace time
+        with the node's long_name in the error."""
+        minibatch_data = [
+            d
+            for d in self.get_variables(graph_key.DATA)
+            if isinstance(d, MinibatchData)
+        ]
+        if len(minibatch_data) > 1:
+            for d in minibatch_data:
+                if d.data_size != minibatch_data[0].data_size:
+                    raise ValueError(
+                        "Minibatch data " + d.long_name + " is not the same size."
+                    )
+        if len(minibatch_data) > 0:
+            data_size = minibatch_data[0].data_size
+            if self._index.data_size is None or self._index.data_size != data_size:
+                self._index.setUp(data_size)
+
+    def test_feed_dict(self, minibatch_size=None):
+        """Indices of a random test minibatch (cf. model.py:119-123)."""
+        return self._index.test_index(minibatch_size)
+
+
+class Indexer:
+    """Shuffled train/test split with random-with-replacement minibatch
+    index draws (cf. model.py:126-153)."""
+
+    def __init__(self):
+        self.data_size = None
+        self.test_frac = 0.1
+
+    def setUp(self, data_size):
+        self.data_size = data_size
+        self.test_size = int(np.floor(self.data_size * self.test_frac))
+        self.train_size = data_size - self.test_size
+        index = np.arange(self.data_size)
+        _rng.get_rng().shuffle(index)
+        self._train_index = index[: self.train_size]
+        self._test_index = index[self.train_size :]
+
+    def train_index(self, minibatch_size):
+        return self._train_index[
+            _rng.get_rng().integers(0, self.train_size, minibatch_size)
+        ]
+
+    def test_index(self, minibatch_size):
+        if minibatch_size is None:
+            return None
+        return self._test_index[
+            _rng.get_rng().integers(0, self.test_size, minibatch_size)
+        ]
+
+
+class AutoOptimize:
+    """Decorator turning a model method into a compilable objective; the
+    Optimizer is created on first access and cached on the instance
+    (cf. model.py:155-188)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, method):
+        @wraps(method)
+        def runnable(instance):
+            optimizer_name = "_" + method.__name__ + "_AF_optimizer"
+            if hasattr(instance, optimizer_name):
+                optimizer = getattr(instance, optimizer_name)
+            else:
+                optimizer = Optimizer(instance, method)
+                setattr(instance, optimizer_name, optimizer)
+            return optimizer
+
+        return runnable
+
+
+class Optimizer:
+    """Compiled objective: evaluation and scan-chunked optimization
+    (cf. model.py:190-269)."""
+
+    def __init__(self, model_instance, likelihood_method):
+        self.model = model_instance
+        self.likelihood_method = likelihood_method
+        self.optimizer = None         # optax GradientTransformation
+        self.collection = None
+        self.opt_state = None
+        self.global_step = 0
+        self.history = []             # per-chunk objective traces (host arrays)
+        self._trainable = None
+        self._frozen = None
+        self._mb_paths = None
+        self._evaluate = None
+        self._eval_jit = None
+        self._chunk_cache = {}
+        self._compiled = False
+
+    # ------------------------------------------------------------------ build
+    def compile(self, optimizer=None, collection=graph_key.VARIABLES,
+                global_step=None, learning_rate=0.001):
+        """Build the pure objective and initialize the optax state.
+
+        args mirror the reference (model.py:206-230):
+        - optimizer: an optax GradientTransformation (default: adam(lr)).
+          LR schedules replace the reference's `global_step` mechanism —
+          pass e.g. ``optax.adam(optax.exponential_decay(...))``.
+        - collection: the variable tag to optimize; everything else is frozen.
+        """
+        if settings.verbosity.tf_compile_verb:
+            print("compiling...")
+        self.optimizer = optimizer if optimizer is not None else optax.adam(learning_rate)
+        self.collection = collection
+        model = self.model
+        model.initialize()
+        model.validate()
+
+        self._trainable = model.param_dict(self.collection)
+        self._frozen = model.param_dict(exclude=self.collection)
+        if len(self._trainable) == 0:
+            raise ValueError(
+                "no variables found in collection %r" % (self.collection,)
+            )
+        self.opt_state = self.optimizer.init(self._trainable)
+        self._mb_paths = frozenset(
+            v.path_to(model)
+            for v in model.get_variables(graph_key.DATA)
+            if isinstance(v, MinibatchData)
+        )
+
+        method = self.likelihood_method
+        mb_paths = self._mb_paths
+
+        def evaluate(trainable, frozen, data, idx, key):
+            params = dict(trainable)
+            params.update(frozen)
+            d = {}
+            for path, arr in data.items():
+                if idx is not None and path in mb_paths:
+                    d[path] = jnp.take(arr, idx, axis=0)
+                else:
+                    d[path] = arr
+            with _ctx.trace(model, params, d, key):
+                return method(model)
+
+        self._evaluate = evaluate
+        self._eval_jit = jax.jit(evaluate, static_argnames=())
+        self._eval_full_jit = jax.jit(
+            lambda t, f, data, key: evaluate(t, f, data, None, key)
+        )
+        self._chunk_cache = {}
+        self._compiled = True
+        if settings.verbosity.tf_compile_verb:
+            print("finished.")
+        return self
+
+    def _require_compiled(self):
+        if not self._compiled:
+            self.compile()
+
+    def _refresh_params(self):
+        """Pick up any staged assignments made since the last call
+        (the reference re-runs initialize() before every run, model.py:93)."""
+        model = self.model
+        if model.initialize_ops:
+            model.initialize()
+            self._trainable = model.param_dict(self.collection)
+            self._frozen = model.param_dict(exclude=self.collection)
+        model.validate()
+
+    def _data_args(self):
+        return {
+            v.path_to(self.model): jnp.asarray(v.data)
+            for v in self.model.get_variables(graph_key.DATA)
+        }
+
+    def _get_chunk(self, minibatch_size, n_steps, train_size):
+        """A jitted function running `n_steps` optimization steps via
+        lax.scan, with the minibatch gather inside the step."""
+        cache_key = (minibatch_size, n_steps, train_size)
+        if cache_key in self._chunk_cache:
+            return self._chunk_cache[cache_key]
+
+        evaluate = self._evaluate
+        tx = self.optimizer
+        mb = minibatch_size
+
+        def chunk(trainable, opt_state, frozen, data, keys, train_idx):
+            def one_step(carry, key):
+                trainable, opt_state = carry
+                if mb is None:
+                    idx = None
+                    k_s = key
+                else:
+                    k_i, k_s = jax.random.split(key)
+                    sel = jax.random.randint(k_i, (mb,), 0, train_size)
+                    idx = jnp.take(train_idx, sel)
+                loss, grads = jax.value_and_grad(
+                    lambda t: -evaluate(t, frozen, data, idx, k_s)
+                )(trainable)
+                updates, opt_state = tx.update(grads, opt_state, trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                return (trainable, opt_state), -loss
+
+            (trainable, opt_state), objs = jax.lax.scan(
+                one_step, (trainable, opt_state), keys
+            )
+            return trainable, opt_state, objs
+
+        fn = jax.jit(chunk, donate_argnums=(0, 1))
+        self._chunk_cache[cache_key] = fn
+        return fn
+
+    # ------------------------------------------------------------------- eval
+    def feed_dict(self, minibatch_size=None, training=True):
+        """Minibatch indices for evaluation, routed like the reference
+        (model.py:232-243): None → full data, training → train split,
+        else → test split."""
+        if minibatch_size is None:
+            return None
+        if training:
+            return self.model._index.train_index(minibatch_size)
+        return self.model._index.test_index(minibatch_size)
+
+    def run(self, minibatch_size=None, training=True, key=None):
+        """Evaluate the objective at the current parameters (fresh noise)."""
+        self._require_compiled()
+        self._refresh_params()
+        data = self._data_args()
+        if key is None:
+            key = self.model._next_key()
+        idx = self.feed_dict(minibatch_size, training)
+        if idx is None:
+            val = self._eval_full_jit(self._trainable, self._frozen, data, key)
+        else:
+            val = self._eval_jit(
+                self._trainable, self._frozen, data, jnp.asarray(idx), key
+            )
+        return np.asarray(val)
+
+    # --------------------------------------------------------------- optimize
+    def optimize(self, maxiter=1, minibatch_size=None, callback=None):
+        """Run `maxiter` optimization steps (scan-chunked on device).
+
+        KeyboardInterrupt-safe like the reference loop (model.py:255-269):
+        parameters advanced so far are committed back into the model tree.
+        """
+        self._require_compiled()
+        self._refresh_params()
+        model = self.model
+        data = self._data_args()
+
+        if minibatch_size is not None:
+            if model._index.data_size is None:
+                raise ValueError(
+                    "minibatch_size given but the model has no MinibatchData."
+                )
+            train_idx = jnp.asarray(model._index._train_index)
+            train_size = int(model._index.train_size)
+        else:
+            train_idx = jnp.zeros((1,), dtype=jnp.int32)
+            train_size = 1
+
+        chunk_size = int(settings.tpu.scan_chunk)
+        trainable, opt_state = self._trainable, self.opt_state
+        done = 0
+        try:
+            while done < maxiter:
+                n = min(chunk_size, maxiter - done)
+                keys = jax.random.split(model._next_key(), n)
+                fn = self._get_chunk(minibatch_size, n, train_size)
+                trainable, opt_state, objs = fn(
+                    trainable, opt_state, self._frozen, data, keys, train_idx
+                )
+                done += n
+                self.global_step += n
+                objs_host = np.asarray(objs)
+                self.history.append(objs_host)
+                if callback is not None:
+                    callback(self.global_step, objs_host)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self._trainable = trainable
+            self.opt_state = opt_state
+            self.model.set_param_dict(dict(trainable))
+        return self

@@ -1,0 +1,87 @@
+"""Numeric helper ops.
+
+TPU-native replacements for the reference's TF wrapper layer
+(`/root/reference/Henbun/tf_wraps.py:26-71`):
+
+* ``eye``, ``clip``, ``log_sum_exp`` — thin jnp versions.
+* ``vec_to_tri`` / ``tri_to_vec`` — the reference shipped these only as a
+  *disabled* custom C++ TF op (`tf_wraps.py:50-71`, the ``.so`` is absent from
+  the tree). Here they are first-class, implemented with static index maps so
+  XLA lowers them to a single gather/scatter; they are differentiable for free
+  and enable the ``LowerTriangular`` transform that the reference had to
+  comment out (`transforms.py:182-269`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._settings import settings
+
+
+def eye(n, dtype=None):
+    """Identity matrix at the configured float type (cf. tf_wraps.py:26-30)."""
+    dtype = dtype or settings.dtypes.float_type
+    return jnp.eye(n, dtype=dtype)
+
+
+def clip(x):
+    """Settings-gated value clipping to protect against over/underflow
+    (cf. tf_wraps.py:33-39). A no-op unless ``settings.numerics.clip_by_value``."""
+    if settings.numerics.clip_by_value:
+        return jnp.clip(
+            x,
+            settings.numerics.clip_value_min,
+            settings.numerics.clip_value_max,
+        )
+    return x
+
+
+def log_sum_exp(x, axis=None):
+    """Numerically stable log-sum-exp (cf. tf_wraps.py:42-48)."""
+    return jax.scipy.special.logsumexp(x, axis=axis)
+
+
+@functools.lru_cache(maxsize=None)
+def _tril_indices(n):
+    rows, cols = np.tril_indices(n)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def vec_to_tri(vec, n=None):
+    """Pack the last axis (length n(n+1)/2) into an [n, n] lower-triangular
+    matrix, row-major over the triangle. Leading axes are preserved.
+
+    The inverse of :func:`tri_to_vec`.
+    """
+    m = vec.shape[-1]
+    if n is None:
+        n = int((np.sqrt(8 * m + 1) - 1) / 2)
+    if n * (n + 1) // 2 != m:
+        raise ValueError("last axis %d is not a triangular number" % m)
+    rows, cols = _tril_indices(n)
+    out = jnp.zeros(vec.shape[:-1] + (n, n), dtype=vec.dtype)
+    return out.at[..., rows, cols].set(vec)
+
+
+def tri_to_vec(mat):
+    """Extract the lower triangle of the trailing [n, n] axes into a vector,
+    row-major. The inverse of :func:`vec_to_tri`."""
+    n = mat.shape[-1]
+    if mat.shape[-2] != n:
+        raise ValueError("trailing axes must be square, got %r" % (mat.shape,))
+    rows, cols = _tril_indices(n)
+    return mat[..., rows, cols]
+
+
+def matmul_hp(a, b, **kwargs):
+    """Matmul pinned to the configured MXU precision.
+
+    TPU matmuls default to bfloat16 accumulation passes; kernels feeding a
+    Cholesky need full float32 precision or the factorization loses digits.
+    """
+    prec = settings.tpu.matmul_precision
+    return jnp.matmul(a, b, precision=prec, **kwargs)

@@ -1,0 +1,373 @@
+"""Variational posteriors with reparameterized single-sample KL estimation.
+
+Capability parity with `/root/reference/Henbun/variationals.py` (381 LoC):
+``Variational`` (diagonal / fullrank Gaussian q), predefined ``Normal``,
+``Gaussian``, ``OffsetGaussian``, ``Beta``.
+
+TPU-native redesign:
+  * Reparameterization noise ``u`` is drawn from an explicit PRNG key derived
+    from the node's tree path (stable across mesh shapes), once per trace, and
+    cached in the trace context so ``KL()`` uses the same noise as the sample
+    — the single-sample estimator of `variationals.py:100-110,198-209`.
+  * The fullrank sample uses a batched ``einsum('...ij,...j->...i')`` over the
+    band-parted square-root — the path the reference left commented out in
+    favor of expand/squeeze matmuls (`variationals.py:144-176`); XLA maps it
+    straight onto the MXU with leading axes batched.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._settings import settings, np_float
+from . import transforms, priors, densities
+from .core import context as _ctx
+from .core.param import Variable, graph_key, Parameterized, _in_collections
+from .ops.linalg import clip
+
+
+def _float_type():
+    return settings.dtypes.float_type
+
+
+class Variational(Parameterized):
+    """Multivariate-Gaussian variational posterior over a flattened `shape`.
+
+    q covariance is 'diagonal' (log-std stored in q_sqrt) or 'fullrank'
+    ([size, size] matrix band-parted to lower-triangular at sample time),
+    cf. `variationals.py:84-96`.
+    """
+
+    def __init__(
+        self,
+        shape,
+        n_layers=[],
+        n_batch=None,
+        q_shape="diagonal",
+        mean=0.0,
+        stddev=1.0,
+        prior=None,
+        transform=None,
+        collections=None,
+    ):
+        Parameterized.__init__(self)
+        collections = collections if collections is not None else [graph_key.VARIABLES]
+        self._shape = [shape] if isinstance(shape, int) else list(shape)
+        self.n_layers = [n_layers] if isinstance(n_layers, int) else list(n_layers)
+        self.n_batch = n_batch
+        self.size = int(np.prod(self._shape))
+        self.collections = collections
+        assert q_shape in ["diagonal", "fullrank"]
+        self.q_shape = q_shape
+        self.q_mu = Variable(
+            self.size,
+            n_layers=n_layers,
+            n_batch=self.n_batch,
+            mean=mean,
+            stddev=0.1 * stddev,
+            collections=collections,
+        )
+        if self.q_shape == "diagonal":
+            # log(q_sqrt) is stored — a manual positivity transform
+            self.q_sqrt = Variable(
+                self.size,
+                n_layers=n_layers,
+                n_batch=self.n_batch,
+                mean=np.log(stddev),
+                stddev=0.1,
+                collections=collections,
+            )
+        else:
+            self.q_sqrt = Variable(
+                [self.size, self.size],
+                n_layers=n_layers,
+                n_batch=self.n_batch,
+                mean=stddev,
+                stddev=0.1 * stddev,
+                collections=collections,
+            )
+        self.transform = transform if transform is not None else transforms.Identity()
+        self.prior = prior
+
+    # --- sampling -----------------------------------------------------------
+    def _state(self):
+        """The per-trace sample state {u, raw, transformed}; draws it lazily
+        for non-LOCAL nodes (LOCAL nodes get theirs in feed())."""
+        ctx = _ctx.current()
+        if ctx is None:
+            raise RuntimeError(
+                "Variational samples only exist inside a traced objective."
+            )
+        path = self.path_to(ctx.root)
+        if path in ctx.samples:
+            return ctx.samples[path]
+        if self.collections is graph_key.LOCAL:
+            raise ValueError(
+                "local variational parameter " + self.long_name + " is not fed."
+            )
+        if self.n_batch is None:
+            sample_shape = tuple(self.n_layers) + (self.size,)
+        else:
+            sample_shape = tuple(self.n_layers) + (self.n_batch, self.size)
+        u = jax.random.normal(ctx.node_key(path), sample_shape, dtype=_float_type())
+        raw = self._sample(u)
+        state = {
+            "u": u,
+            "raw": raw,
+            "transformed": self.transform.tf_forward(raw),
+        }
+        ctx.samples[path] = state
+        return state
+
+    def _sample(self, u):
+        """Reparameterized draw from q given i.i.d. noise u
+        (cf. variationals.py:131-153)."""
+        if self.q_shape == "diagonal":
+            return self.q_mu + jnp.exp(self.q_sqrt) * u
+        sqrt = jnp.tril(self.q_sqrt)
+        return self.q_mu + jnp.einsum("...ij,...j->...i", sqrt, u)
+
+    def tensor(self):
+        """Inside a trace this node *is* a posterior sample, reshaped to
+        [*n_layers, (N,) *shape] and clipped (cf. variationals.py:112-119)."""
+        s = self._state()
+        if self.collections is not graph_key.LOCAL and self.n_batch is None:
+            return clip(
+                jnp.reshape(s["transformed"], tuple(self.n_layers) + tuple(self._shape))
+            )
+        return clip(
+            jnp.reshape(
+                s["transformed"], tuple(self.n_layers) + (-1,) + tuple(self._shape)
+            )
+        )
+
+    def feed(self, x):
+        """LOCAL case: unpack the encoder slab into q_mu/q_sqrt, then draw
+        fresh noise with the fed batch size (cf. variationals.py:121-129)."""
+        Parameterized.feed(self, x)
+        if self.collections is graph_key.LOCAL:
+            ctx = _ctx.current()
+            path = self.path_to(ctx.root)
+            sample_shape = tuple(self.n_layers) + (x.shape[-2], self.size)
+            u = jax.random.normal(ctx.node_key(path), sample_shape, dtype=_float_type())
+            raw = self._sample(u)
+            ctx.samples[path] = {
+                "u": u,
+                "raw": raw,
+                "transformed": self.transform.tf_forward(raw),
+            }
+
+    # --- KL -----------------------------------------------------------------
+    @property
+    def logdet(self):
+        """Log-determinant of the posterior covariance's square root factor
+        per element (cf. variationals.py:178-186)."""
+        if self.q_shape == "diagonal":
+            return 2.0 * self.q_sqrt
+        return jnp.log(jnp.square(jnp.diagonal(self.q_sqrt, axis1=-2, axis2=-1)))
+
+    def KL(self, collection=None):
+        if collection is None or _in_collections(collection, self.collections):
+            return self._KL()
+        return jnp.zeros([], _float_type())
+
+    def _KL(self):
+        """Single-sample estimate of KL[q || p]
+        (cf. variationals.py:198-209)."""
+        s = self._state()
+        kl = -0.5 * jnp.sum(np.log(2.0 * np.pi) + self.logdet + jnp.square(s["u"]))
+        if self.prior is not None:
+            kl -= jnp.sum(self.prior.logp(s["transformed"]))
+            kl -= jnp.sum(self.transform.tf_log_jacobian(s["raw"]))
+        return kl
+
+
+# --- predefined variational parameters --------------------------------------
+
+
+class Normal(Variational):
+    """Variational parameter with N(0,1) prior and identity transform; its
+    _KL is the reference's reduced closed-form-ish single-sample estimate
+    (variationals.py:225-230)."""
+
+    def __init__(
+        self,
+        shape,
+        n_layers=[],
+        n_batch=None,
+        q_shape="diagonal",
+        mean=0.0,
+        stddev=1.0,
+        collections=None,
+    ):
+        Variational.__init__(
+            self,
+            shape,
+            q_shape=q_shape,
+            n_layers=n_layers,
+            n_batch=n_batch,
+            mean=mean,
+            stddev=stddev,
+            prior=priors.Normal(),
+            transform=transforms.Identity(),
+            collections=collections,
+        )
+
+    def _KL(self):
+        s = self._state()
+        return -0.5 * jnp.sum(
+            self.logdet + jnp.square(s["u"]) - jnp.square(s["raw"])
+        )
+
+
+class Gaussian(Normal):
+    """Normal posterior scaled by a trainable positive `scale` Variable;
+    initialization splits mean/stddev between the scale and q
+    (cf. variationals.py:264-288)."""
+
+    def __init__(
+        self,
+        shape,
+        n_layers=[],
+        n_batch=None,
+        q_shape="diagonal",
+        mean=0.0,
+        stddev=1.0,
+        collections=None,
+        scale_shape=None,
+        scale_n_layers=None,
+    ):
+        if np.abs(mean) < stddev:
+            scale_mean = stddev
+            q_mean = mean / stddev
+            q_std = 1.0
+        else:
+            scale_mean = np.abs(mean)
+            q_mean = 1.0
+            q_std = stddev / np.abs(mean)
+        Variational.__init__(
+            self,
+            shape,
+            q_shape=q_shape,
+            n_layers=n_layers,
+            n_batch=n_batch,
+            mean=q_mean,
+            stddev=q_std,
+            prior=priors.Normal(),
+            transform=transforms.Identity(),
+            collections=collections,
+        )
+        scale_shape = scale_shape or [1 for _ in self._shape]
+        scale_layer = scale_n_layers or [1 for _ in self.n_layers]
+        self.scale = Variable(
+            scale_shape,
+            n_layers=scale_layer,
+            n_batch=n_batch,
+            mean=scale_mean,
+            stddev=0.1 * scale_mean,
+            transform=transforms.positive,
+            collections=collections,
+        )
+
+    def tensor(self):
+        return self.scale * Normal.tensor(self)
+
+
+class OffsetGaussian(Gaussian):
+    """Gaussian posterior plus a trainable offset (variationals.py:293-314)."""
+
+    def __init__(
+        self,
+        shape,
+        n_layers=[],
+        n_batch=None,
+        q_shape="diagonal",
+        mean=0.0,
+        stddev=1.0,
+        collections=None,
+        scale_shape=None,
+        scale_n_layers=None,
+    ):
+        Gaussian.__init__(
+            self,
+            shape=shape,
+            n_layers=n_layers,
+            n_batch=n_batch,
+            q_shape=q_shape,
+            mean=0.0,
+            stddev=stddev,
+            collections=collections,
+            scale_shape=scale_shape,
+            scale_n_layers=scale_n_layers,
+        )
+        offset_shape = scale_shape or [1 for _ in self._shape]
+        offset_layer = scale_n_layers or [1 for _ in self.n_layers]
+        self.offset = Variable(
+            offset_shape,
+            n_layers=offset_layer,
+            n_batch=n_batch,
+            mean=mean,
+            stddev=0.1 * mean,
+            collections=collections,
+        )
+
+    def tensor(self):
+        return Gaussian.tensor(self) + self.offset
+
+
+class Beta(Variational):
+    """Posterior mapped to (0,1) by a Logistic transform, with a Beta prior
+    whose alpha/beta hyperparameters are trainable positive Variables
+    (variationals.py:316-381)."""
+
+    def __init__(
+        self,
+        shape,
+        n_layers=[],
+        n_batch=None,
+        q_shape="diagonal",
+        mean=0.0,
+        stddev=1.0,
+        collections=None,
+        scale_shape=None,
+        scale_n_layers=None,
+    ):
+        Variational.__init__(
+            self,
+            shape,
+            q_shape=q_shape,
+            n_layers=n_layers,
+            n_batch=n_batch,
+            mean=mean,
+            stddev=stddev,
+            transform=transforms.Logistic(),
+            collections=collections,
+        )
+        scale_shape = scale_shape or [1 for _ in self._shape]
+        scale_layer = scale_n_layers or [1 for _ in self.n_layers]
+        self.alpha = Variable(
+            scale_shape,
+            n_layers=scale_layer,
+            n_batch=n_batch,
+            mean=1.0,
+            stddev=0.1,
+            transform=transforms.positive,
+            collections=collections,
+        )
+        self.beta = Variable(
+            scale_shape,
+            n_layers=scale_layer,
+            n_batch=n_batch,
+            mean=1.0,
+            stddev=0.1,
+            transform=transforms.positive,
+            collections=collections,
+        )
+
+    def _KL(self):
+        s = self._state()
+        kl = -0.5 * jnp.sum(np.log(2.0 * np.pi) + self.logdet + jnp.square(s["u"]))
+        kl -= jnp.sum(densities.beta(self.alpha, self.beta, s["transformed"]))
+        kl -= jnp.sum(self.transform.tf_log_jacobian(s["raw"]))
+        return kl
