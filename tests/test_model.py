@@ -1,0 +1,195 @@
+"""Training-driver tests mirroring `testing/test_model.py`: end-to-end Adam
+convergence, collection-scoped optimization, save/restore roundtrips
+(including subtree restore), minibatch Indexer re-setup on data swap, and
+setUp kwargs."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+import henbun_tpu as hb
+
+
+class SquareModel(hb.model.Model):
+    def setUp(self):
+        self.p = hb.Variable([2, 3])
+
+    @hb.AutoOptimize()
+    def likelihood(self):
+        return -jnp.sum(jnp.square(self.p))
+
+
+class TestConvergence:
+    def test_adam_drives_to_zero(self):
+        """Adam drives sum(p^2) -> 0 (cf. testing/test_model.py:21-29)."""
+        m = SquareModel(seed=0)
+        opt = m.likelihood()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=1500)
+        assert np.allclose(m.p.value, 0.0, atol=1e-3)
+        assert float(opt.run()) > -1e-5
+
+    def test_history_recorded(self):
+        m = SquareModel(seed=0)
+        opt = m.likelihood()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=100)
+        objs = np.concatenate(opt.history)
+        assert objs.shape == (100,)
+        assert objs[-1] > objs[0]  # maximizing
+
+
+class CollectionModel(hb.model.Model):
+    def setUp(self):
+        self.p1 = hb.Variable([2], collections=["global1"])
+        self.p2 = hb.Variable([2], collections=["global2"])
+
+    @hb.AutoOptimize()
+    def obj(self):
+        return -jnp.sum(jnp.square(self.p1)) - jnp.sum(jnp.square(self.p2))
+
+
+class TestCollections:
+    def test_only_collection_moves(self):
+        """Only global1 variables move (cf. testing/test_model.py:61-74)."""
+        m = CollectionModel(seed=0)
+        p2_before = m.p2.value.copy()
+        opt = m.obj()
+        opt.compile(optax.adam(0.01), collection="global1")
+        opt.optimize(maxiter=800)
+        assert np.allclose(m.p1.value, 0.0, atol=1e-2)
+        assert np.allclose(m.p2.value, p2_before)
+
+    def test_missing_collection_raises(self):
+        m = CollectionModel(seed=0)
+        with pytest.raises(ValueError):
+            m.obj().compile(collection="nope")
+
+
+class TestSaveRestore:
+    def test_roundtrip(self, tmp_path):
+        m = SquareModel(seed=0)
+        m.initialize()
+        before = m.p.value.copy()
+        path = str(tmp_path / "m.ckpt")
+        written = m.save(path)
+        assert os.path.exists(written)
+        m.p = np.zeros((2, 3), dtype=np.float32)
+        m.initialize()
+        assert not np.allclose(m.p.value, before)
+        m.restore(path)
+        assert np.allclose(m.p.value, before)
+
+    def test_subtree_restore(self, tmp_path):
+        """Save/restore on a Variational child alone
+        (cf. testing/test_model.py:91-105)."""
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.Normal(shape=[3])
+        m.other = hb.Variable([2])
+        m.initialize()
+        q_mu = np.asarray(m.q.q_mu.free_value).copy()
+        other = m.other.value.copy()
+        path = str(tmp_path / "q.ckpt")
+        m.q.save(path)
+        m.q.q_mu = np.zeros(3, dtype=np.float32)
+        m.other = np.zeros(2, dtype=np.float32)
+        m.initialize()
+        m.q.restore(path)
+        assert np.allclose(np.asarray(m.q.q_mu.free_value), q_mu)
+        # restoring the subtree must not touch the sibling
+        assert np.allclose(m.other.value, 0.0)
+        assert not np.allclose(other, 0.0)
+
+    def test_global_step_suffix(self, tmp_path):
+        m = SquareModel(seed=0)
+        path = str(tmp_path / "m.ckpt")
+        written = m.save(path, global_step=42)
+        assert written.endswith("-42")
+        assert os.path.exists(written)
+
+    def test_restore_survives_initialize(self, tmp_path):
+        """Restore clears assignment flags so initialize() won't clobber
+        the restored values (cf. param.py:594-603)."""
+        m = SquareModel(seed=0)
+        m.initialize()
+        before = m.p.value.copy()
+        path = str(tmp_path / "m.ckpt")
+        m.save(path)
+        m.p = np.zeros((2, 3), dtype=np.float32)
+        m.restore(path)
+        m.initialize()
+        assert np.allclose(m.p.value, before)
+
+
+class MinibatchModel(hb.model.Model):
+    def setUp(self, data):
+        self.x = hb.MinibatchData(data)
+        self.p = hb.Variable([2])
+
+    @hb.AutoOptimize()
+    def obj(self):
+        return -jnp.sum(jnp.square(self.x - self.p))
+
+
+class TestMinibatch:
+    def test_minibatch_optimization(self):
+        rng = np.random.default_rng(0)
+        data = (rng.normal(size=(200, 2)) + np.array([1.0, -2.0])).astype(np.float32)
+        m = MinibatchModel(seed=0, data=data)
+        opt = m.obj()
+        opt.compile(optax.adam(0.05))
+        opt.optimize(maxiter=1000, minibatch_size=32)
+        # converges to the mean of the train split (~ [1, -2])
+        assert np.allclose(m.p.value, [1.0, -2.0], atol=0.2)
+
+    def test_indexer_resetup_on_data_swap(self):
+        """Swapping data re-sets the Indexer (cf. testing/test_model.py:116-135)."""
+        data = np.zeros((100, 2), dtype=np.float32)
+        m = MinibatchModel(seed=0, data=data)
+        m.validate()
+        assert m._index.data_size == 100
+        assert m._index.train_size == 90
+        m.x = np.zeros((100, 2), dtype=np.float32)  # same-size swap OK
+        m.validate()
+        assert m._index.data_size == 100
+
+    def test_mismatched_minibatch_sizes_raise(self):
+        m = hb.model.Model()
+        m.a = hb.MinibatchData(np.zeros((10, 2), dtype=np.float32))
+        m.b = hb.MinibatchData(np.zeros((12, 2), dtype=np.float32))
+        with pytest.raises(ValueError):
+            m.validate()
+
+    def test_eval_on_test_split(self):
+        data = np.random.default_rng(0).normal(size=(100, 2)).astype(np.float32)
+        m = MinibatchModel(seed=0, data=data)
+        opt = m.obj()
+        opt.compile()
+        v = opt.run(minibatch_size=8, training=False)
+        assert np.isfinite(v)
+
+
+class KwargsModel(hb.model.Model):
+    def setUp(self, n, scale=2.0):
+        self.p = hb.Variable([n], mean=scale)
+
+
+class TestSetupKwargs:
+    def test_kwargs_passed(self):
+        m = KwargsModel(n=5, scale=3.0)
+        assert m.p.value.shape == (5,)
+
+
+class TestAssignDuringTraining:
+    def test_manual_assign_picked_up(self):
+        """A staged assignment between optimize calls must be seen by the
+        next run (the reference re-initializes every run, model.py:93)."""
+        m = SquareModel(seed=0)
+        opt = m.likelihood()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=10)
+        m.p = 5.0 * np.ones((2, 3), dtype=np.float32)
+        val = float(opt.run())
+        assert np.allclose(val, -6 * 25.0, rtol=1e-4)
