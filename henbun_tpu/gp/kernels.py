@@ -20,7 +20,7 @@ from .. import transforms
 from .._settings import settings
 from ..core.param import Variable, Parameterized, graph_key
 from ..variationals import Variational
-from ..ops.linalg import eye, matmul_hp
+from ..ops.linalg import eye, matmul_hp, safe_cholesky
 
 
 def _float_type():
@@ -85,9 +85,9 @@ class UnitStationary(Kern):
 
     def Cholesky(self, X):
         """Lower Cholesky factor of K(X) + jitter*I; batched if X is
-        [N, n, d] (cf. kernels.py:93-101)."""
-        jitter = eye(X.shape[-2]) * settings.numerics.jitter_level
-        return jnp.linalg.cholesky(self.K(X) + jitter)
+        [N, n, d] (cf. kernels.py:93-101). Uses the NaN-retry escalating
+        jitter of :func:`safe_cholesky` for float32 robustness."""
+        return safe_cholesky(self.K(X), settings.numerics.jitter_level)
 
 
 class UnitRBF(UnitStationary):

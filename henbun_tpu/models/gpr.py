@@ -1,0 +1,54 @@
+"""GP regression model family — the reference's flagship workload
+(`/root/reference/notebooks/GaussianProcess.ipynb` cells 6-31): 1D GPR with a
+fullrank Gaussian variational posterior over the whitened latent f, a Gaussian
+or robust Student-t likelihood, and trainable kernel variance / lengthscale /
+noise variance.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+import henbun_tpu as hb
+from henbun_tpu import densities
+from henbun_tpu.ops.linalg import matmul_hp
+
+
+class GPR(hb.model.Model):
+    """Whitened-parameterization GP regression:
+    f = chol(K(X)) @ q * sqrt(k_var),  y ~ N(f, var) or St(f, var, 3).
+    """
+
+    def setUp(self, X, Y, q_shape="fullrank"):
+        self.X = hb.Data(X)
+        self.Y = hb.Data(Y)
+        # variational posterior over the whitened latent, one per datapoint
+        self.q = hb.variationals.Gaussian(shape=list(X.shape), q_shape=q_shape)
+        self.kern = hb.gp.kernels.UnitRBF()
+        # kernel and likelihood variances, positive-constrained
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def f_sample(self):
+        """A posterior sample of the latent function at X (fresh noise each
+        trace; the analog of the notebook's cell-17 op)."""
+        return matmul_hp(self.kern.Cholesky(self.X), self.q) * jnp.sqrt(self.k_var)
+
+    @hb.AutoOptimize()
+    def ELBO_gaussian(self):
+        y_fit = self.f_sample()
+        return jnp.sum(densities.gaussian(self.Y, y_fit, self.var)) - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_student(self):
+        """Robust regression variant: Student-t likelihood with 3 dof."""
+        y_fit = self.f_sample()
+        return jnp.sum(densities.student_t(self.Y, y_fit, self.var, 3.0)) - self.KL()
+
+
+def make_sine_dataset(n=40, noise=0.3, seed=0):
+    """The notebook's synthetic dataset: y = sin(x) + eps on [0, 6]."""
+    rng = np.random.default_rng(seed)
+    X = np.linspace(0, 6, n).reshape(-1, 1).astype(np.float32)
+    Y = (np.sin(X) + rng.normal(size=(n, 1)) * noise).astype(np.float32)
+    return X, Y

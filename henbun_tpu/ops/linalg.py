@@ -77,6 +77,41 @@ def tri_to_vec(mat):
     return mat[..., rows, cols]
 
 
+def safe_cholesky(A, jitter=None):
+    """Lower Cholesky of A + jitter*I with NaN-retry jitter escalation.
+
+    float32 on TPU loses enough digits on ill-conditioned RBF gram matrices
+    that `cholesky` can produce NaN mid-optimization (e.g. when a lengthscale
+    drifts large and K approaches rank one). A NaN factor poisons the whole
+    training state through one Adam step. Escalate jitter x100 (twice) when
+    the factorization fails; `lax.cond` executes only the taken branch, so the
+    common path costs one factorization.
+    """
+    if jitter is None:
+        jitter = settings.numerics.jitter_level
+    n = A.shape[-1]
+    I = jnp.eye(n, dtype=A.dtype)
+
+    def attempt(j):
+        return jnp.linalg.cholesky(A + j * I)
+
+    L0 = attempt(jitter)
+
+    def retry1(_):
+        L1 = attempt(jitter * 100.0)
+
+        def retry2(_):
+            return attempt(jitter * 10000.0)
+
+        return jax.lax.cond(
+            jnp.any(jnp.isnan(L1)), retry2, lambda _: L1, operand=None
+        )
+
+    return jax.lax.cond(
+        jnp.any(jnp.isnan(L0)), retry1, lambda _: L0, operand=None
+    )
+
+
 def matmul_hp(a, b, **kwargs):
     """Matmul pinned to the configured MXU precision.
 

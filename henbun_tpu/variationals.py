@@ -165,7 +165,11 @@ class Variational(Parameterized):
         per element (cf. variationals.py:178-186)."""
         if self.q_shape == "diagonal":
             return 2.0 * self.q_sqrt
-        return jnp.log(jnp.square(jnp.diagonal(self.q_sqrt, axis1=-2, axis2=-1)))
+        # epsilon keeps the barrier (and its gradient) finite when an Adam
+        # step pushes a diagonal entry across zero; an exact log(d^2) emits an
+        # infinite gradient there and one such step NaNs the training state
+        diag = jnp.diagonal(self.q_sqrt, axis1=-2, axis2=-1)
+        return jnp.log(jnp.square(diag) + 1e-20)
 
     def KL(self, collection=None):
         if collection is None or _in_collections(collection, self.collections):

@@ -1,0 +1,115 @@
+"""End-to-end tests of the prebuilt model families — small-iteration versions
+of the reference notebook workloads (BASELINE.md), asserting convergence
+toward the known ground truth."""
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu import models
+
+
+class TestGPR:
+    def test_gpr_gaussian_converges(self):
+        """Small version of GaussianProcess.ipynb cells 9-14: posterior fit
+        approaches sin(x) and ELBO increases."""
+        X, Y = models.make_sine_dataset(n=40)
+        m = models.GPR(seed=0, X=X, Y=Y)
+        opt = m.ELBO_gaussian()
+        opt.compile(optax.adam(0.01))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=6000)
+        e1 = float(opt.run())
+        assert e1 > e0
+        # posterior mean of f over 30 draws tracks sin(x)
+        draws = np.stack(
+            [np.asarray(m.run(lambda mm: mm.f_sample())) for _ in range(30)]
+        )
+        fmean = draws.mean(0)
+        rmse = np.sqrt(np.mean((fmean - np.sin(X)) ** 2))
+        assert rmse < 0.3
+        # learned noise variance near the generating 0.3^2
+        assert 0.02 < float(m.var.value) < 0.25
+
+    def test_gpr_student_runs(self):
+        X, Y = models.make_sine_dataset(n=30)
+        Y[::7] += 3.0  # outliers
+        m = models.GPR(seed=0, X=X, Y=Y)
+        opt = m.ELBO_student()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=500)
+        assert np.isfinite(float(opt.run()))
+
+
+class TestExpertGPR:
+    def test_expert_gpr_runs_and_improves(self):
+        X, Y = models.make_expert_dataset(n=60)
+        m = models.ExpertGPR(seed=0, X=X, Y=Y)
+        init = m.ELBO_single()
+        init.compile(optax.adam(0.01))
+        init.optimize(maxiter=300)
+        main = m.ELBO()
+        main.compile(optax.adam(0.001))
+        e0 = float(main.run())
+        main.optimize(maxiter=500)
+        e1 = float(main.run())
+        assert np.isfinite(e1) and e1 > e0
+
+
+class TestLinear:
+    def test_vi_linear_recovers_coefficients(self):
+        """Small version of Henbun_structure2.ipynb: posterior means of a, b
+        approach the generating coefficients."""
+        X, Y = models.make_linear_dataset(n=200, a=1.0, b=2.0, noise=0.3)
+        m = models.VariationalLinearModel(seed=0, X=X, Y=Y)
+        opt = m.elbo()
+        opt.compile(optax.adam(0.05))
+        opt.optimize(maxiter=2000)
+        a_mean = float(np.asarray(m.a.q_mu.free_value))
+        b_mean = float(np.asarray(m.b.q_mu.free_value))
+        assert abs(a_mean - 1.0) < 0.2
+        assert abs(b_mean - 2.0) < 0.2
+
+    def test_map_linear(self):
+        X, Y = models.make_linear_dataset(n=200, a=1.0, b=2.0, noise=0.3)
+        m = models.MAPLinearModel(seed=0, X=X, Y=Y)
+        opt = m.logp()
+        opt.compile(optax.adam(0.05))
+        opt.optimize(maxiter=2000)
+        assert abs(float(m.a.value) - 1.0) < 0.15
+        assert abs(float(m.b.value) - 2.0) < 0.15
+
+
+class TestAmortized:
+    def test_amortized_minibatch_svi(self):
+        """Minibatch SVI with encoder-fed local latents improves the ELBO and
+        beats predicting the data mean."""
+        X, Y = models.make_synthetic_regression(n=2000, d_x=4)
+        m = models.AmortizedRegression(seed=0, X=X, Y=Y, d_z=2, hidden=16)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.005))
+        opt.optimize(maxiter=600, minibatch_size=64)
+        objs = np.concatenate(opt.history) / m.n_data
+        # smoothed ELBO improves over training
+        assert np.mean(objs[-100:]) > np.mean(objs[:100])
+        assert np.isfinite(objs).all()
+
+
+class TestBNN:
+    def test_variational_bnn_fits(self):
+        X, Y = models.make_bnn_dataset(n=64)
+        m = models.VariationalBNN(seed=0, X=X, Y=Y, hidden=8)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.01))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=800)
+        e1 = float(opt.run())
+        assert e1 > e0
+
+    def test_bnn_log_posterior_finite(self):
+        X, Y = models.make_bnn_dataset(n=32)
+        m = models.BNN(seed=0, X=X, Y=Y, hidden=8)
+        lp = m.log_posterior()
+        lp.compile(optax.adam(0.01))
+        assert np.isfinite(float(lp.run()))
