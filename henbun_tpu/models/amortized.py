@@ -39,11 +39,15 @@ class AmortizedRegression(hb.model.Model):
             shape=[d_z], collections=hb.graph_key.LOCAL
         )
         # encoder emits the feed slab [N, feed_size] = [N, 2*d_z]
+        # small init stddev: the encoder's raw output feeds log-sigma of the
+        # local posterior; O(1) weights would give exp(~50) sigmas at init
         self.encoder = hb.nn.NeuralNet(
-            [d_x + 1, hidden, self.z.feed_size], neuron_types=hb.nn.relu
+            [d_x + 1, hidden, self.z.feed_size],
+            neuron_types=hb.nn.relu,
+            stddev=0.3,
         )
         self.decoder = hb.nn.NeuralNet(
-            [d_x + d_z, hidden, 1], neuron_types=hb.nn.relu
+            [d_x + d_z, hidden, 1], neuron_types=hb.nn.relu, stddev=0.3
         )
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
 

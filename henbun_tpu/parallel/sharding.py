@@ -35,6 +35,17 @@ class ShardedOptimizer:
 
     def __init__(self, model, likelihood_method, mesh=None):
         self.model = model
+        # accept: a raw method, an @AutoOptimize-decorated method (unwrap),
+        # a method name string, or an Optimizer instance
+        from ..model import Optimizer as _Opt
+
+        if isinstance(likelihood_method, str):
+            likelihood_method = getattr(type(model), likelihood_method)
+        if isinstance(likelihood_method, _Opt):
+            likelihood_method = likelihood_method.likelihood_method
+        likelihood_method = getattr(
+            likelihood_method, "__wrapped__", likelihood_method
+        )
         self.likelihood_method = likelihood_method
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
         self.optimizer = None
