@@ -1,0 +1,177 @@
+"""NUTS and SMC statistical tests: known-Gaussian moment recovery, evidence
+estimation against the analytic marginal likelihood, U-turn efficiency, and
+mesh sharding of chains/particles."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu import models
+from henbun_tpu.inference import nuts, smc, logprob, hmc
+from henbun_tpu.parallel import make_mesh
+
+
+class TestNUTS:
+    def test_recovers_correlated_gaussian(self):
+        cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+        prec = np.linalg.inv(cov)
+
+        def lp(t):
+            return -0.5 * t @ jnp.asarray(prec, jnp.float32) @ t
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+        res = nuts.sample(
+            lp, init, jax.random.PRNGKey(1), num_samples=500, num_warmup=300
+        )
+        x = np.asarray(res.samples).reshape(-1, 2)
+        assert np.allclose(x.mean(0), 0.0, atol=0.15)
+        assert np.allclose(np.cov(x.T), cov, atol=0.35)
+        assert np.asarray(res.accept_prob).mean() > 0.6
+
+    def test_tree_depth_scales_with_condition(self):
+        """Anisotropic target without mass adaptation needs deeper trees than
+        an isotropic one — the U-turn criterion is actually working."""
+        def lp_iso(t):
+            return -0.5 * jnp.sum(t**2)
+
+        def lp_aniso(t):
+            return -0.5 * (t[0] ** 2 / 100.0 + jnp.sum(t[1:] ** 2))
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (4, 3))
+        r_iso = nuts.sample(
+            lp_iso, init, jax.random.PRNGKey(1), num_samples=100,
+            num_warmup=200, adapt_mass=False,
+        )
+        r_aniso = nuts.sample(
+            lp_aniso, init * jnp.asarray([10.0, 1, 1]), jax.random.PRNGKey(1),
+            num_samples=100, num_warmup=200, adapt_mass=False,
+        )
+        assert (
+            np.asarray(r_aniso.num_steps).mean()
+            > 1.5 * np.asarray(r_iso.num_steps).mean()
+        )
+
+    def test_nuts_on_model_tree(self):
+        """NUTS through the flat log-prob of the MAP linear model."""
+        X, Y = models.make_linear_dataset(n=300, a=1.0, b=2.0, noise=0.3)
+        m = models.MAPLinearModel(seed=0, X=X, Y=Y)
+        flp = logprob.make_log_prob(m, "logp")
+        init = jnp.tile(flp.initial, (4, 1))
+        res = nuts.sample(
+            flp.log_prob, init, jax.random.PRNGKey(0),
+            num_samples=300, num_warmup=300,
+        )
+        x = np.asarray(res.samples).reshape(-1, flp.dim)
+        a_idx, b_idx = flp.paths.index("a"), flp.paths.index("b")
+        assert abs(x[:, a_idx].mean() - 1.0) < 0.1
+        assert abs(x[:, b_idx].mean() - 2.0) < 0.1
+        # NUTS beats fixed-length HMC on ESS per gradient here or at least
+        # produces healthy chains
+        ess = hmc.effective_sample_size(np.asarray(res.samples))
+        assert ess.min() > 100
+
+    def test_chain_sharded(self):
+        mesh = make_mesh(n_data=1, n_chain=8)
+
+        def lp(t):
+            return -0.5 * jnp.sum(t**2)
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
+        res = nuts.sample(
+            lp, init, jax.random.PRNGKey(1), num_samples=100, num_warmup=100,
+            mesh=mesh,
+        )
+        assert len(res.samples.sharding.device_set) == 8
+        assert np.isfinite(np.asarray(res.samples)).all()
+
+
+class TestSMC:
+    def test_gaussian_posterior_and_evidence(self):
+        """Conjugate 1D model: prior N(0,1), likelihood from n obs of N(mu,1).
+        SMC posterior moments and log-evidence vs analytic values."""
+        rng = np.random.default_rng(0)
+        n_obs, true_mu = 20, 1.5
+        y = rng.normal(true_mu, 1.0, size=n_obs).astype(np.float32)
+        post_var = 1.0 / (1 + n_obs)
+        post_mean = post_var * y.sum()
+        # analytic log evidence of N(0,1) prior + N(mu,1) likelihood
+        prior_var, lik_var = 1.0, 1.0
+        marg_cov = np.full((n_obs, n_obs), prior_var) + np.eye(n_obs) * lik_var
+        sign, logdet = np.linalg.slogdet(marg_cov)
+        log_Z = (
+            -0.5 * n_obs * np.log(2 * np.pi)
+            - 0.5 * logdet
+            - 0.5 * y @ np.linalg.solve(marg_cov, y)
+        )
+
+        def log_prior(t):
+            return -0.5 * jnp.sum(t**2) - 0.5 * np.log(2 * np.pi)
+
+        def log_lik(t):
+            return jnp.sum(
+                -0.5 * (jnp.asarray(y) - t[0]) ** 2 - 0.5 * np.log(2 * np.pi)
+            )
+
+        particles = jax.random.normal(jax.random.PRNGKey(0), (2048, 1))
+        res = smc.sample(
+            log_prior, log_lik, particles, jax.random.PRNGKey(1),
+            num_move_steps=3, step_size=0.2,
+        )
+        x = np.asarray(res.particles)[:, 0]
+        assert abs(x.mean() - post_mean) < 0.1
+        assert abs(x.var() - post_var) < 0.05
+        assert abs(float(res.log_evidence) - log_Z) < 1.5
+        assert float(res.final_beta) > 0.999
+
+    def test_multimodal_mixture(self):
+        """Tempering traverses a well-separated bimodal target; both modes
+        populated."""
+        def log_prior(t):
+            return -0.5 * jnp.sum(t**2 / 25.0)
+
+        def log_lik(t):
+            return jnp.logaddexp(
+                -0.5 * jnp.sum((t - 4.0) ** 2) * 20,
+                -0.5 * jnp.sum((t + 4.0) ** 2) * 20,
+            )
+
+        particles = 5.0 * jax.random.normal(jax.random.PRNGKey(0), (4096, 1))
+        res = smc.sample(
+            log_prior, log_lik, particles, jax.random.PRNGKey(1),
+            num_move_steps=5, step_size=0.1,
+        )
+        x = np.asarray(res.particles)[:, 0]
+        frac_pos = (x > 0).mean()
+        assert 0.15 < frac_pos < 0.85
+
+    def test_systematic_resample_unbiased(self):
+        log_w = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+        particles = jnp.arange(4.0)[:, None]
+        counts = np.zeros(4)
+        for i in range(200):
+            out = smc.systematic_resample(
+                jax.random.PRNGKey(i), log_w, particles
+            )
+            for v in np.asarray(out)[:, 0]:
+                counts[int(v)] += 1
+        freq = counts / counts.sum()
+        assert np.allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.03)
+
+    def test_particles_sharded(self):
+        mesh = make_mesh(n_data=1, n_chain=8)
+
+        def log_prior(t):
+            return -0.5 * jnp.sum(t**2)
+
+        def log_lik(t):
+            return -0.5 * jnp.sum((t - 1.0) ** 2)
+
+        particles = jax.random.normal(jax.random.PRNGKey(0), (1024, 2))
+        res = smc.sample(
+            log_prior, log_lik, particles, jax.random.PRNGKey(1), mesh=mesh
+        )
+        assert len(res.particles.sharding.device_set) == 8
+        x = np.asarray(res.particles)
+        # posterior N(0.5, 0.5 I)
+        assert np.allclose(x.mean(0), 0.5, atol=0.1)
