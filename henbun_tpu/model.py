@@ -17,6 +17,7 @@ both the per-step dispatch overhead and the per-step host feed.
 """
 from __future__ import annotations
 
+import time
 from functools import wraps
 
 import numpy as np
@@ -180,6 +181,9 @@ class Optimizer:
         self.opt_state = None
         self.global_step = 0
         self.history = []             # per-chunk objective traces (host arrays)
+        from .utils.profiling import StepMetrics
+
+        self.metrics = StepMetrics()
         self._trainable = None
         self._frozen = None
         self._mb_paths = None
@@ -353,23 +357,29 @@ class Optimizer:
             train_idx = jnp.zeros((1,), dtype=jnp.int32)
             train_size = 1
 
+        from .utils.profiling import trace_if_enabled
+
         chunk_size = int(settings.tpu.scan_chunk)
         trainable, opt_state = self._trainable, self.opt_state
         done = 0
         try:
-            while done < maxiter:
-                n = min(chunk_size, maxiter - done)
-                keys = jax.random.split(model._next_key(), n)
-                fn = self._get_chunk(minibatch_size, n, train_size)
-                trainable, opt_state, objs = fn(
-                    trainable, opt_state, self._frozen, data, keys, train_idx
-                )
-                done += n
-                self.global_step += n
-                objs_host = np.asarray(objs)
-                self.history.append(objs_host)
-                if callback is not None:
-                    callback(self.global_step, objs_host)
+            with trace_if_enabled("optimize"):
+                while done < maxiter:
+                    n = min(chunk_size, maxiter - done)
+                    keys = jax.random.split(model._next_key(), n)
+                    fn = self._get_chunk(minibatch_size, n, train_size)
+                    t0 = time.perf_counter()
+                    trainable, opt_state, objs = fn(
+                        trainable, opt_state, self._frozen, data, keys, train_idx
+                    )
+                    objs_host = np.asarray(objs)  # device sync, once per chunk
+                    dt = time.perf_counter() - t0
+                    done += n
+                    self.global_step += n
+                    self.history.append(objs_host)
+                    self.metrics.record(self.global_step, objs_host, dt, n)
+                    if callback is not None:
+                        callback(self.global_step, objs_host)
         except KeyboardInterrupt:
             pass
         finally:
