@@ -35,6 +35,7 @@ from .core.rng import set_seed
 from .core import param as _core_param
 from . import transforms
 from . import densities
+from . import scoping
 from . import priors
 from . import variationals
 from . import model
@@ -44,6 +45,7 @@ from . import ops
 from . import inference
 from . import parallel
 from . import utils
+from . import io
 
 # `hb.param.*` API surface, as in the reference package layout
 from . import param

@@ -1,0 +1,4 @@
+"""Native (C++) data path: out-of-core prefetching loader + streaming driver."""
+from . import loader, streaming
+from .loader import OutOfCoreLoader, write_dataset
+from .streaming import optimize_streaming

@@ -1,0 +1,145 @@
+// Out-of-core minibatch loader: C++ runtime component of henbun_tpu.
+//
+// The reference has no native runtime (SURVEY.md §2.4); its data path is a
+// numpy fancy-index + host feed per step (reference param.py:733-739,
+// model.py:263-269), which caps dataset size at host RAM and stalls training
+// on the feed. This loader streams datasets larger than RAM from disk:
+// worker threads gather random rows (sampling with replacement, matching the
+// Indexer's semantics) from an mmap'd float32 file into a ring of
+// megabatch buffers, overlapping disk I/O with device compute. Python binds
+// via ctypes (no pybind11 in this image).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread dataloader.cpp -o _dataloader.so
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Loader {
+  // dataset
+  int fd = -1;
+  const float* data = nullptr;  // mmap'd [n_rows, row_floats]
+  int64_t n_rows = 0;
+  int64_t row_floats = 0;
+  int64_t batch_rows = 0;
+  int64_t train_rows = 0;  // sampling restricted to the first train_rows rows
+
+  // buffer pool
+  std::vector<float*> buffers;
+  std::deque<float*> free_q;
+  std::deque<float*> ready_q;
+  std::mutex mu;
+  std::condition_variable cv_free, cv_ready;
+  std::atomic<bool> stop{false};
+  std::vector<std::thread> workers;
+  uint64_t seed = 0;
+
+  void worker(int tid) {
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ULL + tid + 1);
+    std::uniform_int_distribution<int64_t> pick(0, train_rows - 1);
+    const size_t row_bytes = static_cast<size_t>(row_floats) * sizeof(float);
+    while (true) {
+      float* buf;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] { return stop.load() || !free_q.empty(); });
+        if (stop.load()) return;
+        buf = free_q.front();
+        free_q.pop_front();
+      }
+      for (int64_t i = 0; i < batch_rows; ++i) {
+        const int64_t r = pick(rng);
+        std::memcpy(buf + i * row_floats, data + r * row_floats, row_bytes);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready_q.push_back(buf);
+      }
+      cv_ready.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hb_loader_open(const char* path, int64_t n_rows, int64_t row_floats,
+                     int64_t batch_rows, int n_buffers, int n_threads,
+                     uint64_t seed, int64_t train_rows) {
+  auto* L = new Loader();
+  L->fd = ::open(path, O_RDONLY);
+  if (L->fd < 0) {
+    delete L;
+    return nullptr;
+  }
+  const size_t bytes = static_cast<size_t>(n_rows) * row_floats * sizeof(float);
+  void* p = ::mmap(nullptr, bytes, PROT_READ, MAP_PRIVATE, L->fd, 0);
+  if (p == MAP_FAILED) {
+    ::close(L->fd);
+    delete L;
+    return nullptr;
+  }
+  ::madvise(p, bytes, MADV_RANDOM);
+  L->data = static_cast<const float*>(p);
+  L->n_rows = n_rows;
+  L->row_floats = row_floats;
+  L->batch_rows = batch_rows;
+  L->train_rows = (train_rows > 0 && train_rows <= n_rows) ? train_rows : n_rows;
+  L->seed = seed;
+  for (int i = 0; i < n_buffers; ++i) {
+    float* buf = new float[static_cast<size_t>(batch_rows) * row_floats];
+    L->buffers.push_back(buf);
+    L->free_q.push_back(buf);
+  }
+  for (int t = 0; t < n_threads; ++t) {
+    L->workers.emplace_back([L, t] { L->worker(t); });
+  }
+  return L;
+}
+
+float* hb_loader_next(void* h) {
+  auto* L = static_cast<Loader*>(h);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_ready.wait(lk, [&] { return !L->ready_q.empty(); });
+  float* buf = L->ready_q.front();
+  L->ready_q.pop_front();
+  return buf;
+}
+
+void hb_loader_release(void* h, float* buf) {
+  auto* L = static_cast<Loader*>(h);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->free_q.push_back(buf);
+  }
+  L->cv_free.notify_one();
+}
+
+void hb_loader_close(void* h) {
+  auto* L = static_cast<Loader*>(h);
+  L->stop.store(true);
+  L->cv_free.notify_all();
+  for (auto& w : L->workers) w.join();
+  const size_t bytes =
+      static_cast<size_t>(L->n_rows) * L->row_floats * sizeof(float);
+  ::munmap(const_cast<float*>(static_cast<const float*>(L->data)), bytes);
+  ::close(L->fd);
+  for (float* b : L->buffers) delete[] b;
+  delete L;
+}
+
+}  // extern "C"

@@ -1,0 +1,83 @@
+"""C++ out-of-core loader tests: build, row-sampling correctness, train-split
+restriction, prefetch concurrency, and streaming-training integration."""
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu.io import loader as hbio
+from henbun_tpu.io.streaming import optimize_streaming
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(1000, 3)).astype(np.float32)
+    Y = (X @ np.array([1.0, -2.0, 0.5], np.float32))[:, None] + 0.05 * rng.normal(
+        size=(1000, 1)
+    ).astype(np.float32)
+    path = tmp_path_factory.mktemp("data") / "rows.f32"
+    n, row_floats, slices = hbio.write_dataset(str(path), X, Y)
+    return str(path), n, row_floats, slices, X, Y
+
+
+def test_rows_come_from_dataset(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    rows = np.concatenate([X, Y], axis=1)
+    with hbio.OutOfCoreLoader(path, n, row_floats, batch_rows=64, seed=1) as dl:
+        batch = dl.next()
+        assert batch.shape == (64, 4)
+        # every sampled row must be an exact dataset row
+        row_set = {r.tobytes() for r in rows}
+        for r in batch:
+            assert r.tobytes() in row_set
+
+
+def test_train_rows_restriction(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    rows = np.concatenate([X, Y], axis=1)
+    train = 100
+    train_set = {r.tobytes() for r in rows[:train]}
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=256, seed=2, train_rows=train
+    ) as dl:
+        batch = dl.next()
+        for r in batch:
+            assert r.tobytes() in train_set
+
+
+def test_successive_batches_differ_and_overlap_prefetch(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=128, n_buffers=3, n_threads=2, seed=3
+    ) as dl:
+        b1, b2, b3 = dl.next(), dl.next(), dl.next()
+        assert not np.array_equal(b1, b2)
+        assert not np.array_equal(b2, b3)
+
+
+def test_streaming_training(dataset):
+    """Full loop: C++ prefetch -> megabatch swap -> scan-chunked training
+    recovers the linear coefficients."""
+    path, n, row_floats, slices, X, Y = dataset
+
+    class LinReg(hb.model.Model):
+        def setUp(self):
+            self.x = hb.MinibatchData(np.zeros((8, 3), np.float32))
+            self.y = hb.MinibatchData(np.zeros((8, 1), np.float32))
+            self.w = hb.Variable([3, 1], stddev=0.1)
+
+        @hb.AutoOptimize()
+        def obj(self):
+            return -jnp.sum(jnp.square(self.y - jnp.matmul(self.x, self.w)))
+
+    m = LinReg(seed=0)
+    opt = m.obj()
+    opt.compile(optax.adam(0.05))
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=512, seed=4
+    ) as dl:
+        optimize_streaming(opt, dl, slices, maxiter=1500, minibatch_size=64)
+    w = m.w.value[:, 0]
+    assert np.allclose(w, [1.0, -2.0, 0.5], atol=0.1)
