@@ -82,6 +82,28 @@ class Model(Parameterized):
         with _ctx.trace(self, params, data, key, training=training):
             return fn(self)
 
+    def draws(self, fn, num, key=None, minibatch_index=None):
+        """`num` posterior draws of `fn(model)` as one vmapped+jitted call.
+
+        The reference's notebooks loop `model.run(op)` 30-50 times for
+        posterior bands (GaussianProcess.ipynb cell 17) — a session round-trip
+        per draw. Here the trace is pure, so draws vectorize over PRNG keys
+        into a single device call; the leading axis of the result is the draw
+        axis.
+        """
+        self.initialize()
+        params = self.param_dict()
+        data = self._gather_data(minibatch_index)
+        if key is None:
+            key = self._next_key()
+
+        def one(k):
+            with _ctx.trace(self, params, data, k):
+                return fn(self)
+
+        keys = jax.random.split(key, num)
+        return jax.jit(jax.vmap(one))(keys)
+
     def _gather_data(self, minibatch_index=None):
         out = {}
         for v in self.get_variables(graph_key.DATA):
