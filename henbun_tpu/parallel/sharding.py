@@ -161,8 +161,26 @@ class ShardedOptimizer:
         self._chunk_cache[cache_key] = fn
         return fn
 
+    def _refresh_params(self):
+        """Pick up staged assignments made since the last call (parity with
+        Optimizer._refresh_params)."""
+        model = self.model
+        if model.initialize_ops:
+            model.initialize()
+            repl = self._repl()
+            self._trainable = {
+                k: jax.device_put(v, repl)
+                for k, v in model.param_dict(self.collection).items()
+            }
+            self._frozen = {
+                k: jax.device_put(v, repl)
+                for k, v in model.param_dict(exclude=self.collection).items()
+            }
+        model.validate()
+
     def optimize(self, maxiter=1, minibatch_size=None):
         model = self.model
+        self._refresh_params()
         data = self._sharded_data()
         if minibatch_size is not None:
             train_idx = jnp.asarray(model._index._train_index)
