@@ -121,7 +121,9 @@ def sample(
         keys = jax.random.split(key, num_chains)
         eps = jnp.exp(da.log_eps)
         inv_mass_now = jnp.where(
-            count > 10.0, w_m2 / jnp.maximum(count - 1.0, 1.0), jnp.ones_like(w_m2)
+            jnp.logical_and(adapt_mass, count > 10.0),
+            w_m2 / jnp.maximum(count - 1.0, 1.0),
+            jnp.ones_like(w_m2),
         )
         theta, logp, accept_prob = v_kernel(theta, logp, keys, eps, inv_mass_now)
         da = _da_update(da, accept_prob, target=target_accept)
