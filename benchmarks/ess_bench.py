@@ -19,12 +19,12 @@ import jax.numpy as jnp
 
 import henbun_tpu as hb
 from henbun_tpu import models
-from henbun_tpu.inference import make_log_prob, hmc, nuts
+from henbun_tpu.inference import make_log_prob, hmc, nuts, chees
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sampler", choices=["hmc", "nuts", "both"], default="both")
+    ap.add_argument("--sampler", choices=["hmc", "nuts", "chees", "all"], default="all")
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--samples", type=int, default=300)
     ap.add_argument("--warmup", type=int, default=300)
@@ -45,9 +45,9 @@ def main():
         jax.random.PRNGKey(0), (args.chains, flp.dim)
     )
 
-    which = ["hmc", "nuts"] if args.sampler == "both" else [args.sampler]
+    which = ["hmc", "nuts", "chees"] if args.sampler == "all" else [args.sampler]
     for name in which:
-        mod = hmc if name == "hmc" else nuts
+        mod = {"hmc": hmc, "nuts": nuts, "chees": chees}[name]
         # first call compiles (jit caches per sample() invocation are not
         # shared, but the persistent compilation cache makes the second call's
         # compile a cache hit), second call measures steady state

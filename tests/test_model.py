@@ -193,3 +193,29 @@ class TestAssignDuringTraining:
         m.p = 5.0 * np.ones((2, 3), dtype=np.float32)
         val = float(opt.run())
         assert np.allclose(val, -6 * 25.0, rtol=1e-4)
+
+
+class TestDraws:
+    def test_draws_match_run_statistics(self):
+        """Vectorized draws agree statistically with the run() loop and each
+        draw uses fresh noise."""
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.Normal(shape=[4])
+        m.q.q_mu = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+        m.q.q_sqrt = np.log(0.5 * np.ones(4, dtype=np.float32))
+        m.initialize()
+        d = np.asarray(m.draws(lambda mm: mm.q, 2000))
+        assert d.shape == (2000, 4)
+        assert np.allclose(d.mean(0), [1, 2, 3, 4], atol=0.1)
+        assert np.allclose(d.std(0), 0.5, atol=0.05)
+        assert not np.allclose(d[0], d[1])
+
+    def test_draws_reproducible_with_key(self):
+        import jax
+
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.Normal(shape=[3])
+        m.initialize()
+        d1 = np.asarray(m.draws(lambda mm: mm.q, 5, key=jax.random.PRNGKey(7)))
+        d2 = np.asarray(m.draws(lambda mm: mm.q, 5, key=jax.random.PRNGKey(7)))
+        assert np.allclose(d1, d2)

@@ -113,3 +113,29 @@ class TestBNN:
         lp = m.log_posterior()
         lp.compile(optax.adam(0.01))
         assert np.isfinite(float(lp.run()))
+
+
+class TestSVGP:
+    def test_svgp_minibatch_fits_large_n(self):
+        """SVGP with 32 inducing points on N=5000 points: minibatch SVI fits
+        sin(x) with RMSE well below the noise level of a zero predictor."""
+        rng = np.random.default_rng(0)
+        X = np.sort(rng.uniform(0, 6, size=(5000, 1)).astype(np.float32), axis=0)
+        Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+        m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=32)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=3000, minibatch_size=256)
+        # predict on a grid through the traced model
+        grid = np.linspace(0, 6, 100).reshape(-1, 1).astype(np.float32)
+        import jax.numpy as jnp
+
+        def fgrid(mm):
+            return mm.gp.samples(jnp.asarray(grid), mm.u, "neglected") * jnp.sqrt(
+                mm.k_var
+            )
+
+        draws = np.asarray(m.draws(fgrid, 50))[:, 0, :]
+        rmse = np.sqrt(np.mean((draws.mean(0) - np.sin(grid[:, 0])) ** 2))
+        assert rmse < 0.2
+        assert np.isfinite(np.concatenate(opt.history)).all()

@@ -53,3 +53,29 @@ def test_settings_parse_types():
     assert isinstance(hb.settings.numerics.jitter_level, float)
     assert hb.settings.numerics.clip_by_value is False
     assert isinstance(hb.settings.tpu.scan_chunk, int)
+
+
+def test_profiling_trace_writes_files(tmp_path):
+    """[profiling] flags (dead config in the reference) actually produce a
+    profiler trace directory when enabled."""
+    import os
+    from henbun_tpu.utils.profiling import trace_if_enabled
+
+    cfg = hb.settings.get_settings()
+    cfg.profiling.dump_tensorboard = True
+    cfg.profiling.profile_dir = str(tmp_path / "prof")
+    with hb.settings.temp_settings(cfg):
+        with trace_if_enabled("test"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    found = []
+    for root, dirs, files in os.walk(str(tmp_path / "prof")):
+        found += files
+    assert len(found) > 0
+
+
+def test_safe_cholesky_escalates_jitter():
+    """A singular matrix factors after escalation instead of returning NaN."""
+    A = jnp.ones((8, 8))  # rank one
+    L = linalg.safe_cholesky(A, 1e-6)
+    assert np.isfinite(np.asarray(L)).all()
+    assert np.allclose(np.asarray(L @ L.T), np.asarray(A), atol=0.1)
