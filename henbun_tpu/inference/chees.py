@@ -144,17 +144,23 @@ def sample(
         # dual averaging on the cross-chain mean accept rate
         da = _da_update(da, jnp.mean(accept), target=target_accept)
         # ChEES trajectory gradient (paper eq. 14-15, accept-prob weighted)
-        m_bar = jnp.mean(theta_prop, axis=0)
-        d_new = theta_prop - m_bar
+        # divergent proposals carry inf/nan positions with accept ~ 0; they
+        # must be masked BEFORE multiplying (0 * inf = nan would poison the
+        # whole gradient and then log T forever)
+        finite = jnp.all(jnp.isfinite(theta_prop), axis=-1)
+        safe_prop = jnp.where(finite[:, None], theta_prop, theta)
+        safe_vel = jnp.where(finite[:, None], vel_prop, 0.0)
+        m_bar = jnp.mean(safe_prop, axis=0)
+        d_new = safe_prop - m_bar
         d_old = theta - m_bar
         crit = jnp.sum(d_new**2, -1) - jnp.sum(d_old**2, -1)  # [chains]
-        dir_term = jnp.sum(d_new * vel_prop, -1)
-        w = accept
+        dir_term = jnp.sum(d_new * safe_vel, -1)
+        w = jnp.where(finite, accept, 0.0)
         g = jnp.sum(w * crit * dir_term) / jnp.maximum(jnp.sum(w), 1e-6)
         # gradient w.r.t. log T, squashed to |.| <= 1 so Adam's effective step
         # on log T stays bounded regardless of the criterion's scale
         g_log = g * traj
-        g_log = g_log / (1.0 + jnp.abs(g_log))
+        g_log = jnp.where(jnp.isfinite(g_log), g_log / (1.0 + jnp.abs(g_log)), 0.0)
         tr_adam, log_traj = adam_update(tr_adam, g_log, log_traj, traj_learning_rate)
         log_traj = jnp.clip(log_traj, jnp.log(1e-2), jnp.log(1e3))
         # Welford for the mass matrix (per-dimension, pooled over chains)

@@ -91,3 +91,27 @@ def test_requires_two_chains():
         chees.sample(
             lambda t: -jnp.sum(t**2), jnp.zeros((1, 2)), jax.random.PRNGKey(0)
         )
+
+
+def test_trajectory_stays_finite_on_bnn_posterior():
+    """Regression: divergent early proposals (inf positions, accept 0) must
+    not poison the trajectory adaptation through 0*inf — found by driving the
+    49-dim BNN workload end-to-end on TPU."""
+    import henbun_tpu as hb
+    from henbun_tpu import models
+    from henbun_tpu.inference import make_log_prob
+
+    hb.set_seed(0)
+    X, Y = models.make_bnn_dataset(n=128)
+    m = models.BNN(seed=0, X=X, Y=Y, hidden=16)
+    flp = make_log_prob(m, "log_posterior")
+    init = flp.initial + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(0), (64, flp.dim)
+    )
+    res = chees.sample(
+        flp.log_prob, init, jax.random.PRNGKey(1),
+        num_samples=100, num_warmup=200,
+    )
+    assert np.isfinite(float(res.trajectory_length))
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert 0.3 < np.asarray(res.accept_prob).mean() < 0.99
