@@ -525,6 +525,16 @@ class Data(Variable):
     def get_feed_dict(self, minibatch_index=None):
         return {self: self.data}
 
+    def device_value(self):
+        """The data as a device array, cached across calls — re-uploading a
+        large dataset every optimize()/run() call costs seconds over slow
+        host links. The cache invalidates when `data` is rebound (assign or
+        streaming megabatch swap)."""
+        if getattr(self, "_dev_of", None) is not id(self.data):
+            self._dev = jnp.asarray(self.data)
+            self._dev_of = id(self.data)
+        return self._dev
+
     def assign(self, value):
         value = np.asarray(value)
         if not np.all(value.shape == self.data.shape):

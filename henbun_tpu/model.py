@@ -109,9 +109,9 @@ class Model(Parameterized):
         for v in self.get_variables(graph_key.DATA):
             path = v.path_to(self)
             if isinstance(v, MinibatchData) and minibatch_index is not None:
-                out[path] = jnp.asarray(v.data)[jnp.asarray(minibatch_index)]
+                out[path] = v.device_value()[jnp.asarray(minibatch_index)]
             else:
-                out[path] = jnp.asarray(v.data)
+                out[path] = v.device_value()
         return out
 
     def validate(self):
@@ -288,7 +288,7 @@ class Optimizer:
 
     def _data_args(self):
         return {
-            v.path_to(self.model): jnp.asarray(v.data)
+            v.path_to(self.model): v.device_value()
             for v in self.model.get_variables(graph_key.DATA)
         }
 
@@ -357,11 +357,18 @@ class Optimizer:
         return np.asarray(val)
 
     # --------------------------------------------------------------- optimize
-    def optimize(self, maxiter=1, minibatch_size=None, callback=None):
+    def optimize(self, maxiter=1, minibatch_size=None, callback=None,
+                 nan_guard=True):
         """Run `maxiter` optimization steps (scan-chunked on device).
 
         KeyboardInterrupt-safe like the reference loop (model.py:255-269):
         parameters advanced so far are committed back into the model tree.
+
+        nan_guard: if a chunk produces a non-finite objective, roll the
+        parameters and optimizer state back to the chunk start and retry once
+        with fresh noise keys; a second failure raises. This is the failure
+        detection the reference lacks (SURVEY.md §5.3) — a single divergent
+        stochastic step cannot silently destroy a long run.
         """
         self._require_compiled()
         self._refresh_params()
@@ -388,13 +395,40 @@ class Optimizer:
             with trace_if_enabled("optimize"):
                 while done < maxiter:
                     n = min(chunk_size, maxiter - done)
-                    keys = jax.random.split(model._next_key(), n)
                     fn = self._get_chunk(minibatch_size, n, train_size)
+                    if nan_guard:
+                        # snapshot host copies so a bad chunk can be rolled
+                        # back (donated buffers make device copies unusable)
+                        snap_t = jax.tree_util.tree_map(np.asarray, trainable)
+                        snap_o = jax.tree_util.tree_map(np.asarray, opt_state)
                     t0 = time.perf_counter()
+                    keys = jax.random.split(model._next_key(), n)
                     trainable, opt_state, objs = fn(
                         trainable, opt_state, self._frozen, data, keys, train_idx
                     )
                     objs_host = np.asarray(objs)  # device sync, once per chunk
+                    if nan_guard and not np.isfinite(objs_host).all():
+                        bad_at = int(np.argmax(~np.isfinite(objs_host)))
+                        trainable = jax.tree_util.tree_map(jnp.asarray, snap_t)
+                        opt_state = jax.tree_util.tree_map(jnp.asarray, snap_o)
+                        keys = jax.random.split(model._next_key(), n)
+                        trainable, opt_state, objs = fn(
+                            trainable, opt_state, self._frozen, data, keys,
+                            train_idx,
+                        )
+                        objs_host = np.asarray(objs)
+                        if not np.isfinite(objs_host).all():
+                            raise FloatingPointError(
+                                "objective went non-finite at step ~%d twice "
+                                "in a row; aborting (first failure at chunk "
+                                "offset %d)" % (self.global_step + n, bad_at)
+                            )
+                        if settings.verbosity.optimisation_verb:
+                            print(
+                                "[henbun] non-finite objective at chunk offset"
+                                " %d — rolled back and retried with fresh keys"
+                                % bad_at
+                            )
                     dt = time.perf_counter() - t0
                     done += n
                     self.global_step += n

@@ -111,7 +111,7 @@ class ShardedOptimizer:
         for v in self.model.get_variables(graph_key.DATA):
             path = v.path_to(self.model)
             out[path] = jax.device_put(
-                jnp.asarray(v.data), self._data_sharding(path)
+                v.device_value(), self._data_sharding(path)
             )
         return out
 

@@ -219,3 +219,28 @@ class TestDraws:
         d1 = np.asarray(m.draws(lambda mm: mm.q, 5, key=jax.random.PRNGKey(7)))
         d2 = np.asarray(m.draws(lambda mm: mm.q, 5, key=jax.random.PRNGKey(7)))
         assert np.allclose(d1, d2)
+
+
+class NaNModel(hb.model.Model):
+    def setUp(self):
+        self.p = hb.Variable([2])
+
+    @hb.AutoOptimize()
+    def bad(self):
+        return jnp.log(-jnp.ones(()) - jnp.sum(jnp.square(self.p)))  # always nan
+
+
+class TestNanGuard:
+    def test_always_nan_raises(self):
+        m = NaNModel(seed=0)
+        opt = m.bad()
+        opt.compile(optax.adam(0.01))
+        with pytest.raises(FloatingPointError):
+            opt.optimize(maxiter=10)
+
+    def test_guard_off_records_nan(self):
+        m = NaNModel(seed=0)
+        opt = m.bad()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=10, nan_guard=False)
+        assert not np.isfinite(np.concatenate(opt.history)).all()
