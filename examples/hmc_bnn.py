@@ -11,13 +11,13 @@ import jax.numpy as jnp
 
 import henbun_tpu as hb
 from henbun_tpu import models
-from henbun_tpu.inference import make_log_prob, hmc, nuts
+from henbun_tpu.inference import make_log_prob, hmc, nuts, chees
 from henbun_tpu.parallel import make_mesh
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sampler", choices=["hmc", "nuts"], default="nuts")
+    ap.add_argument("--sampler", choices=["hmc", "nuts", "chees"], default="chees")
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--samples", type=int, default=500)
     ap.add_argument("--warmup", type=int, default=500)
@@ -35,7 +35,7 @@ def main():
         jax.random.PRNGKey(0), (args.chains, flp.dim)
     )
 
-    sampler = nuts if args.sampler == "nuts" else hmc
+    sampler = {"hmc": hmc, "nuts": nuts, "chees": chees}[args.sampler]
     res = sampler.sample(
         flp.log_prob, init, jax.random.PRNGKey(1),
         num_samples=args.samples, num_warmup=args.warmup, mesh=mesh,

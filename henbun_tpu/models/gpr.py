@@ -46,6 +46,38 @@ class GPR(hb.model.Model):
         return jnp.sum(densities.student_t(self.Y, y_fit, self.var, 3.0)) - self.KL()
 
 
+class GPRMarginal(hb.model.Model):
+    """Exact-marginal GP regression: hyperparameters only, latent f
+    integrated out analytically. `log_marginal` is the HMC/NUTS target for
+    BASELINE config 4's "GP hyperparameters" half — sampling runs in free
+    space with transform Jacobians added by inference.make_log_prob."""
+
+    def setUp(self, X, Y):
+        self.X = hb.Data(X)
+        self.Y = hb.Data(Y)
+        self.kern = hb.gp.kernels.UnitRBF()
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    @hb.AutoOptimize()
+    def log_marginal(self):
+        """log N(y | 0, k_var*K + var*I) via the Cholesky-factor density
+        (densities.multivariate_normal), plus weak LogNormal hyperpriors."""
+        from henbun_tpu.ops.linalg import safe_cholesky
+
+        K = self.k_var * self.kern.K(self.X)
+        n = K.shape[0]
+        S = K + self.var * jnp.eye(n, dtype=K.dtype)
+        L = safe_cholesky(S, 1e-6)
+        lml = densities.multivariate_normal(self.Y, jnp.zeros_like(self.Y), L)
+        log_prior = (
+            jnp.sum(densities.lognormal(self.kern.lengthscales, 0.0, 1.0))
+            + jnp.sum(densities.lognormal(self.k_var, 0.0, 1.0))
+            + jnp.sum(densities.lognormal(self.var, -2.0, 1.0))
+        )
+        return lml + log_prior
+
+
 def make_sine_dataset(n=40, noise=0.3, seed=0):
     """The notebook's synthetic dataset: y = sin(x) + eps on [0, 6]."""
     rng = np.random.default_rng(seed)

@@ -157,3 +157,33 @@ class TestESS:
             x[i] = 0.95 * x[i - 1] + rng.normal() * 0.1
         ess = hmc.effective_sample_size(x)
         assert ess[0] < n / 5
+
+
+class TestGPHyperparameterSampling:
+    def test_nuts_over_gp_hyperparams(self):
+        """BASELINE config 4, GP half: NUTS over (lengthscale, k_var, var) of
+        the exact GP marginal recovers hyperparameters consistent with the
+        generating process."""
+        from henbun_tpu.inference import nuts
+
+        X, Y = models.make_sine_dataset(n=40, noise=0.3)
+        m = models.GPRMarginal(seed=0, X=X, Y=Y)
+        flp = logprob.make_log_prob(m, "log_marginal")
+        assert flp.dim == 3
+        init = flp.initial + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(0), (4, flp.dim)
+        )
+        res = nuts.sample(
+            flp.log_prob, init, jax.random.PRNGKey(1),
+            num_samples=300, num_warmup=300,
+        )
+        x = np.asarray(res.samples).reshape(-1, flp.dim)
+        assert np.isfinite(x).all()
+        assert np.asarray(res.accept_prob).mean() > 0.5
+        # posterior over noise var (positive transform = softplus of free)
+        var_idx = flp.paths.index("var")
+        noise_var = np.logaddexp(0, x[:, var_idx]) + 1e-6
+        assert 0.03 < np.median(noise_var) < 0.3  # true 0.09
+        ls_idx = flp.paths.index("kern.lengthscales")
+        ls = np.logaddexp(0, x[:, ls_idx]) + 1e-6
+        assert 0.3 < np.median(ls) < 3.0

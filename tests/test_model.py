@@ -244,3 +244,32 @@ class TestNanGuard:
         opt.compile(optax.adam(0.01))
         opt.optimize(maxiter=10, nan_guard=False)
         assert not np.isfinite(np.concatenate(opt.history)).all()
+
+
+class TestMultiSampleELBO:
+    def test_variance_reduction(self):
+        """S=16 sample averaging shrinks the per-step objective noise
+        relative to S=1 on a stochastic (Variational) objective."""
+        class VModel(hb.model.Model):
+            def setUp(self):
+                self.q = hb.variationals.Normal(shape=[10])
+
+            @hb.AutoOptimize()
+            def obj(self):
+                return -jnp.sum(jnp.square(self.q)) - self.KL()
+
+        stds = {}
+        for S in (1, 16):
+            m = VModel(seed=0)
+            opt = m.obj()
+            opt.compile(optax.adam(1e-9), num_elbo_samples=S)  # ~frozen params
+            opt.optimize(maxiter=300)
+            stds[S] = np.concatenate(opt.history).std()
+        assert stds[16] < stds[1] / 2.0
+
+    def test_multisample_converges(self):
+        m = SquareModel(seed=0)
+        opt = m.likelihood()
+        opt.compile(optax.adam(0.01), num_elbo_samples=4)
+        opt.optimize(maxiter=1500)
+        assert np.allclose(m.p.value, 0.0, atol=1e-3)
