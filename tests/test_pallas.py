@@ -75,3 +75,48 @@ def test_neuralnet_falls_back_on_cpu():
     w1 = np.asarray(m.net.matbias1.w.free_value)
     b1 = np.asarray(m.net.matbias1.b.free_value)
     assert np.allclose(np.asarray(out), ref_mlp(x, w0, b0, w1, b1, "relu"), atol=1e-5)
+
+
+class TestFusedSampleKL:
+    def _ref(self, slab, u):
+        s = u.shape[-1]
+        mu, logsig = slab[:, :s], slab[:, s:]
+        raw = mu + np.exp(logsig) * u
+        kl = -0.5 * np.sum(2 * logsig + u**2 - raw**2)
+        return raw, kl
+
+    @pytest.mark.parametrize("n", [64, 256, 300])
+    def test_matches_reference(self, n):
+        from henbun_tpu.ops import pallas_sample
+
+        s = 6
+        slab = RNG.normal(size=(n, 2 * s)).astype(np.float32) * 0.5
+        u = RNG.normal(size=(n, s)).astype(np.float32)
+        sample, kl = pallas_sample.fused_normal_sample_kl(
+            jnp.asarray(slab), jnp.asarray(u), True
+        )
+        ref_sample, ref_kl = self._ref(slab, u)
+        assert np.allclose(np.asarray(sample), ref_sample, atol=1e-5)
+        assert np.allclose(float(kl), ref_kl, rtol=1e-4)
+
+    def test_gradients_match_autodiff(self):
+        from henbun_tpu.ops import pallas_sample
+
+        n, s = 128, 4
+        slab = jnp.asarray(RNG.normal(size=(n, 2 * s)).astype(np.float32) * 0.5)
+        u = jnp.asarray(RNG.normal(size=(n, s)).astype(np.float32))
+
+        def loss_fused(slab, u):
+            sample, kl = pallas_sample.fused_normal_sample_kl(slab, u, True)
+            return jnp.sum(sample**2) + 3.0 * kl
+
+        def loss_ref(slab, u):
+            mu, logsig = slab[:, :s], slab[:, s:]
+            raw = mu + jnp.exp(logsig) * u
+            kl = -0.5 * jnp.sum(2 * logsig + u**2 - raw**2)
+            return jnp.sum(raw**2) + 3.0 * kl
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(slab, u)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(slab, u)
+        for a, b in zip(gf, gr):
+            assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
