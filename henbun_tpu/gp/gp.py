@@ -26,6 +26,39 @@ def _float_type():
     return settings.dtypes.float_type
 
 
+def whitened_conditional(kern, x_new, x, u, q_shape="diagonal"):
+    """Exact GP conditional through the whitened representation.
+
+    With f = L u (L = chol(K(x))), f* = K(x, x*)^T L^-T u +
+    N(0, K** - K*^T K^-1 K*) — the same math as SparseGP.samples with x as
+    the inducing set. u: [N, n]; returns [N, n*]. q_shape in
+    {'neglected','diagonal','fullrank'} controls the residual-variance term.
+    """
+    assert q_shape in ["neglected", "diagonal", "fullrank"]
+    ctx = _ctx.current()
+    Lm = kern.Cholesky(x)  # [n, n]
+    LnT = jax.scipy.linalg.solve_triangular(
+        Lm, kern.K(x, x_new), lower=True
+    )  # [n, n*]
+    samples = matmul_hp(u, LnT)  # [N, n] @ [n, n*] -> [N, n*]
+    if q_shape == "neglected":
+        return samples
+    if q_shape == "diagonal":
+        diag_cov = kern.Kdiag(x_new) - jnp.sum(jnp.square(LnT), -2)
+        noise = jax.random.normal(
+            ctx.tagged_key("gp_cond_diag"), samples.shape, dtype=_float_type()
+        )
+        return samples + jnp.sqrt(jnp.abs(diag_cov)) * noise
+    from ..ops.linalg import safe_cholesky
+
+    cov = kern.K(x_new) - matmul_hp(jnp.swapaxes(LnT, -1, -2), LnT)
+    chol = safe_cholesky(cov, settings.numerics.jitter_level)
+    noise = jax.random.normal(
+        ctx.tagged_key("gp_cond_full"), samples.shape, dtype=_float_type()
+    )
+    return samples + matmul_hp(noise, jnp.swapaxes(chol, -1, -2))
+
+
 class GP(Parameterized):
     """Sample from the whitened GP posterior: mean L*u.q_mu, covariance
     (L*u.q_sqrt)(L*u.q_sqrt)^T, with L = chol(K(x,x)) (cf. gp.py:9-50).
@@ -45,6 +78,13 @@ class GP(Parameterized):
         Returns posterior samples sized [N, n]."""
         L = self.kern.Cholesky(x)  # [n, n]
         return matmul_hp(u, jnp.swapaxes(L, -1, -2))
+
+    def conditional_samples(self, x_new, x, u, q_shape="diagonal"):
+        """Posterior samples at NEW points x_new [n*, d], conditioned through
+        the whitened representation at the reference points x [n, d] — the
+        prediction-at-new-inputs API the reference lacks (its notebooks only
+        sample at training X). See :func:`whitened_conditional`."""
+        return whitened_conditional(self.kern, x_new, x, u, q_shape)
 
 
 class SparseGP(GP):

@@ -34,6 +34,17 @@ class GPR(hb.model.Model):
         trace; the analog of the notebook's cell-17 op)."""
         return matmul_hp(self.kern.Cholesky(self.X), self.q) * jnp.sqrt(self.k_var)
 
+    def predict_f(self, x_new, q_shape="diagonal"):
+        """Posterior samples of f at new inputs x_new [n*, d] — the
+        prediction API the reference lacks. Use with Model.draws:
+        >>> bands = m.draws(lambda mm: mm.predict_f(grid), 100)
+        """
+        from henbun_tpu.gp.gp import whitened_conditional
+
+        u = jnp.swapaxes(self.q, -1, -2)  # [1, n] whitened sample
+        out = whitened_conditional(self.kern, x_new, self.X, u, q_shape)
+        return jnp.swapaxes(out, -1, -2) * jnp.sqrt(self.k_var)
+
     @hb.AutoOptimize()
     def ELBO_gaussian(self):
         y_fit = self.f_sample()

@@ -162,3 +162,69 @@ class TestSparseGP:
         g = jax.grad(loss)(params)
         assert np.any(np.abs(np.asarray(g["gp.z"])) > 0)
         assert np.any(np.abs(np.asarray(g["gp.kern.lengthscales"])) > 0)
+
+
+class TestWhitenedConditional:
+    def test_at_training_points_equals_samples(self):
+        """At x_new == x the conditional (neglected) reduces to u @ L^T."""
+        m = hb.model.Model(seed=0)
+        m.gp = GP(kernels.UnitRBF(lengthscales=np.array([0.5], np.float32)))
+        m.initialize()
+        x = np.linspace(0, 2, 9)[:, None].astype(np.float32)
+        u = RNG.normal(size=(4, 9)).astype(np.float32)
+
+        def fn(mm):
+            return (
+                mm.gp.samples(jnp.asarray(x), jnp.asarray(u)),
+                mm.gp.conditional_samples(
+                    jnp.asarray(x), jnp.asarray(x), jnp.asarray(u), "neglected"
+                ),
+            )
+
+        s, c = m.run(fn)
+        # float32 triangular solve + jitter: agreement to ~3e-3
+        assert np.allclose(np.asarray(s), np.asarray(c), atol=7e-3)
+
+    def test_conditional_mean_matches_analytic(self):
+        """For fixed u, E[f*] = K*^T K^-1 (L u) — check against numpy."""
+        m = hb.model.Model(seed=0)
+        m.gp = GP(kernels.UnitRBF(lengthscales=np.array([0.7], np.float32)))
+        m.initialize()
+        x = np.linspace(0, 2, 8)[:, None].astype(np.float32)
+        xs = np.linspace(-0.5, 2.5, 15)[:, None].astype(np.float32)
+        u = RNG.normal(size=(1, 8)).astype(np.float32)
+        cond = np.asarray(
+            m.run(
+                lambda mm: mm.gp.conditional_samples(
+                    jnp.asarray(xs), jnp.asarray(x), jnp.asarray(u), "neglected"
+                )
+            )
+        )
+        jit = hb.settings.numerics.jitter_level
+        d = (x / 0.7) - (x / 0.7).T
+        K = np.exp(-(d**2) / 2) + np.eye(8) * jit
+        Ks = np.exp(-(((x / 0.7) - (xs / 0.7).T) ** 2) / 2)  # [n, n*]
+        L = np.linalg.cholesky(K.astype(np.float32))
+        f = (u @ L.T)[0]
+        analytic = Ks.T @ np.linalg.solve(K, f)
+        assert np.allclose(cond[0], analytic, atol=2e-2)
+
+    def test_gpr_predict_f_bands(self):
+        """End-to-end: trained GPR predicts at a grid; the posterior band
+        tracks sin(x) inside the data range."""
+        from henbun_tpu import models
+
+        X, Y = models.make_sine_dataset(n=40)
+        import optax
+
+        m = models.GPR(seed=0, X=X, Y=Y)
+        opt = m.ELBO_gaussian()
+        opt.compile(optax.adam(0.01))
+        opt.optimize(maxiter=4000)
+        grid = np.linspace(0.3, 5.7, 50)[:, None].astype(np.float32)
+        bands = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 60))[:, :, 0]
+        mean = bands.mean(0)
+        rmse = np.sqrt(np.mean((mean - np.sin(grid[:, 0])) ** 2))
+        assert rmse < 0.3
+        # uncertainty grows outside data... at least stays positive
+        assert bands.std(0).min() > 0

@@ -77,3 +77,20 @@ def test_sharded_amortized():
     objs = np.concatenate(opt.history)
     assert np.isfinite(objs).all()
     assert np.mean(objs[-50:]) > np.mean(objs[:50])
+
+
+def test_sharded_svgp():
+    """Sparse variational GP under data sharding: the scalable-GP config of
+    SURVEY §5.7 (inducing approximations keep per-chip matrices local while
+    the data axis shards)."""
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 6, size=(2048, 1)).astype(np.float32), axis=0)
+    Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+    m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=16)
+    mesh = make_mesh(n_data=8, n_chain=1)
+    opt = ShardedOptimizer(m, "ELBO", mesh=mesh)
+    opt.compile(optax.adam(0.01))
+    opt.optimize(maxiter=500, minibatch_size=128)
+    objs = np.concatenate(opt.history)
+    assert np.isfinite(objs).all()
+    assert np.mean(objs[-100:]) > np.mean(objs[:100])
