@@ -31,10 +31,16 @@ def main():
     print("lengthscale:", m.kern.lengthscales.value)
     print("kernel var:", m.k_var.value, " noise var:", m.var.value)
 
-    # posterior draws (fresh noise per call, as the notebook's cell 17)
-    draws = np.stack([np.asarray(m.run(lambda mm: mm.f_sample())) for _ in range(30)])
+    # posterior draws, vectorized (the notebook's cell 17 loops run(); here
+    # 100 draws are one device call)
+    draws = np.asarray(m.draws(lambda mm: mm.f_sample(), 100))
     rmse = np.sqrt(np.mean((draws.mean(0) - np.sin(X)) ** 2))
     print("posterior-mean RMSE vs sin(x):", rmse)
+
+    # prediction at NEW inputs (no reference counterpart)
+    grid = np.linspace(0, 6, 120).reshape(-1, 1).astype(np.float32)
+    bands = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 100))[:, :, 0]
+    print("predictive band mean width:", 2 * bands.std(0).mean())
 
     # --- robust variant: Student-t likelihood against outliers ----------
     Y_out = Y.copy()

@@ -71,6 +71,42 @@ def _find_next_beta(beta, log_lik, target_ess_frac, n_bisect=30):
     return jnp.maximum(delta, 1e-5)
 
 
+def sample_model(
+    model,
+    prior_method,
+    likelihood_method,
+    num_particles,
+    key,
+    collection=None,
+    init_scale=1.0,
+    **kwargs,
+):
+    """SMC over a model tree: `prior_method` / `likelihood_method` are model
+    objectives (names or methods) returning log p(theta) and log p(y|theta).
+    Transform log-Jacobians attach to the prior (they belong to the measure);
+    particles initialize overdispersed around the model's current free
+    values. Returns (SMCResult, FlatLogProb) — use flp.unravel/set_model_state
+    to map particles back to the tree."""
+    import jax as _jax
+
+    from .logprob import make_log_prob
+
+    flp_prior = make_log_prob(
+        model, prior_method, collection, add_transform_jacobians=True
+    )
+    flp_lik = make_log_prob(
+        model, likelihood_method, collection, add_transform_jacobians=False
+    )
+    k_init, k_run = _jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+    particles = flp_prior.initial + init_scale * _jax.random.normal(
+        k_init, (num_particles, flp_prior.dim)
+    )
+    res = sample(
+        flp_prior.log_prob, flp_lik.log_prob, particles, k_run, **kwargs
+    )
+    return res, flp_prior
+
+
 def sample(
     log_prior,
     log_likelihood,

@@ -65,7 +65,7 @@ class ShardedOptimizer:
         return self._repl()
 
     def compile(self, optimizer=None, collection=graph_key.VARIABLES,
-                learning_rate=0.001):
+                learning_rate=0.001, num_elbo_samples=1):
         model = self.model
         self.optimizer = optimizer if optimizer is not None else optax.adam(learning_rate)
         self.collection = collection
@@ -91,7 +91,7 @@ class ShardedOptimizer:
         method = self.likelihood_method
         mb_paths = self._mb_paths
 
-        def evaluate(trainable, frozen, data, idx, key):
+        def evaluate_one(trainable, frozen, data, idx, key):
             params = dict(trainable)
             params.update(frozen)
             d = {}
@@ -102,6 +102,19 @@ class ShardedOptimizer:
                     d[path] = arr
             with _ctx.trace(model, params, d, key):
                 return method(model)
+
+        if num_elbo_samples > 1:
+            S = int(num_elbo_samples)
+
+            def evaluate(trainable, frozen, data, idx, key):
+                keys = jax.random.split(key, S)
+                vals = jax.vmap(
+                    lambda k: evaluate_one(trainable, frozen, data, idx, k)
+                )(keys)
+                return jnp.mean(vals)
+
+        else:
+            evaluate = evaluate_one
 
         self._evaluate = evaluate
         return self

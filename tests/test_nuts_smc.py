@@ -177,3 +177,45 @@ class TestSMC:
         x = np.asarray(res.particles)
         # posterior N(0.5, 0.5 I)
         assert np.allclose(x.mean(0), 0.5, atol=0.1)
+
+
+class TestSMCModelTree:
+    def test_sample_model_linear(self):
+        """SMC through the model tree: explicit prior/likelihood objectives
+        on the linear model; posterior means recover the coefficients."""
+        from henbun_tpu import densities
+
+        X, Y = models.make_linear_dataset(n=200, a=1.0, b=2.0, noise=0.3)
+
+        class M(hb.model.Model):
+            def setUp(self):
+                self.x = hb.Data(X)
+                self.y = hb.Data(Y)
+                self.a = hb.Variable([1])
+                self.b = hb.Variable([1])
+
+            @hb.AutoOptimize()
+            def log_prior(self):
+                return jnp.sum(
+                    densities.gaussian(self.a, 0.0, 10.0)
+                ) + jnp.sum(densities.gaussian(self.b, 0.0, 10.0))
+
+            @hb.AutoOptimize()
+            def log_lik(self):
+                return jnp.sum(
+                    densities.gaussian(self.y, self.a + self.b * self.x, 0.09)
+                )
+
+        m = M(seed=0)
+        res, flp = smc.sample_model(
+            m, "log_prior", "log_lik", num_particles=1024,
+            key=jax.random.PRNGKey(0), init_scale=2.0, step_size=0.05,
+        )
+        x = np.asarray(res.particles)
+        a_idx, b_idx = flp.paths.index("a"), flp.paths.index("b")
+        assert abs(x[:, a_idx].mean() - 1.0) < 0.15
+        assert abs(x[:, b_idx].mean() - 2.0) < 0.15
+        assert float(res.final_beta) > 0.999
+        # write a posterior-mean particle back into the tree
+        flp.set_model_state(jnp.asarray(x.mean(0)))
+        assert abs(float(m.a.value[0]) - 1.0) < 0.15
