@@ -159,7 +159,7 @@ def sample(
     v_move = jax.vmap(hmc_move, in_axes=(0, 0, None, None))
 
     def stage(state):
-        particles, beta, log_Z, n_stages, key = state
+        particles, beta, log_Z, n_stages, eps, key = state
         key, k_res, k_move = jax.random.split(key, 3)
         log_lik = v_log_lik(particles)
         delta = _find_next_beta(beta, log_lik, target_ess)
@@ -172,16 +172,24 @@ def sample(
         def move_body(i, carry):
             particles, acc = carry
             keys = jax.random.split(jax.random.fold_in(k_move, i), P_)
-            particles, accepted = v_move(particles, keys, beta, step_size)
+            particles, accepted = v_move(particles, keys, beta, eps)
             return particles, acc + jnp.mean(accepted.astype(jnp.float32))
 
-        particles, _ = jax.lax.fori_loop(
+        particles, acc_sum = jax.lax.fori_loop(
             0, num_move_steps, move_body, (particles, jnp.zeros(()))
         )
-        return particles, beta, log_Z, n_stages + 1, key
+        # per-stage step-size adaptation: the tempered target sharpens as
+        # beta grows, so a fixed eps either stalls early stages or rejects
+        # late ones; nudge eps toward ~0.65 accept (Robbins-Monro style)
+        acc_rate = acc_sum / num_move_steps
+        eps = jnp.clip(
+            eps * jnp.exp(0.5 * (acc_rate - 0.65)), step_size * 1e-3,
+            step_size * 1e3,
+        )
+        return particles, beta, log_Z, n_stages + 1, eps, key
 
     def cond(state):
-        _, beta, _, n_stages, _ = state
+        _, beta, _, n_stages, _, _ = state
         return jnp.logical_and(beta < 1.0 - 1e-6, n_stages < max_stages)
 
     def run(particles, key):
@@ -190,9 +198,10 @@ def sample(
             jnp.zeros(()),
             jnp.zeros(()),
             jnp.int32(0),
+            jnp.asarray(step_size, jnp.float32),
             key,
         )
-        particles, beta, log_Z, n_stages, _ = jax.lax.while_loop(
+        particles, beta, log_Z, n_stages, eps, _ = jax.lax.while_loop(
             cond, stage, state
         )
         return SMCResult(particles, log_Z, n_stages, beta)
