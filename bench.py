@@ -42,12 +42,17 @@ def main():
     chunk = int(hb.settings.tpu.scan_chunk)
 
     # --- ours: scan-chunked on-device loop -------------------------------
+    # best-of-N timing: the tunneled chip's throughput varies 2-3x between
+    # moments; best-of keeps the measurement about the program, and the
+    # vs_baseline ratio uses best-of on both sides
     opt.optimize(maxiter=chunk)  # compile + warm up
-    n_chunks = 1 if QUICK else 4
-    t0 = time.perf_counter()
-    opt.optimize(maxiter=chunk * n_chunks)
-    dt = time.perf_counter() - t0
-    steps_per_s = chunk * n_chunks / dt
+    reps = 2 if QUICK else 4
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        opt.optimize(maxiter=chunk)
+        best = min(best, time.perf_counter() - t0)
+    steps_per_s = chunk / best
 
     # --- baseline: one device call per step (reference architecture) -----
     trainable = opt._trainable
@@ -68,14 +73,16 @@ def main():
     key = jax.random.PRNGKey(0)
     trainable, opt_state, obj = one_step(trainable, opt_state, key)  # compile
     jax.block_until_ready(obj)
-    n_base = 5 if QUICK else 20
-    t0 = time.perf_counter()
-    for i in range(n_base):
-        key = jax.random.fold_in(key, i)
-        trainable, opt_state, obj = one_step(trainable, opt_state, key)
-        jax.block_until_ready(obj)  # host sync per step, as the reference does
-    base_dt = time.perf_counter() - t0
-    base_steps_per_s = n_base / base_dt
+    n_base = 5 if QUICK else 15
+    best_base = float("inf")
+    for rep in range(2 if QUICK else 3):
+        t0 = time.perf_counter()
+        for i in range(n_base):
+            key = jax.random.fold_in(key, rep * n_base + i)
+            trainable, opt_state, obj = one_step(trainable, opt_state, key)
+            jax.block_until_ready(obj)  # host sync per step, as the reference
+        best_base = min(best_base, time.perf_counter() - t0)
+    base_steps_per_s = n_base / best_base
 
     print(
         json.dumps(
