@@ -83,12 +83,20 @@ def sample(
     initial_step_size=0.1,
     target_accept=0.8,
     adapt_mass=True,
+    jitter_steps=True,
     mesh=None,
     thin=1,
 ):
     """Run HMC on `log_prob` (theta [dim] -> scalar).
 
     - init: [num_chains, dim] initial positions (chain count inferred).
+    - jitter_steps: draw the leapfrog count uniformly in
+      [num_leapfrog/2, num_leapfrog] each iteration (shared across chains, so
+      vmap stays lockstep). REQUIRED for correctness in practice: with a
+      fixed count, a chain whose adapted (eps, mass) lands near a leapfrog
+      resonance (n steps ~ pi rotation for a quadratic mode) degenerates to
+      bouncing between +/-x forever — an ergodicity failure that inflates
+      tails while fooling pairwise ESS estimates.
     - mesh: optional Mesh; chains shard over its 'chain' axis.
 
     Returns an HMCResult with samples [num_samples, num_chains, dim].
@@ -97,11 +105,11 @@ def sample(
     num_chains, dim = init.shape
     grad_fn = jax.grad(log_prob)
 
-    def kernel(theta, logp, key, eps, inv_mass):
+    def kernel(theta, logp, key, eps, inv_mass, n_steps):
         k_mom, k_acc = jax.random.split(key)
         mom = jax.random.normal(k_mom, (dim,)) / jnp.sqrt(inv_mass)
         theta_new, mom_new = _leapfrog(
-            grad_fn, theta, mom, eps, inv_mass, num_leapfrog
+            grad_fn, theta, mom, eps, inv_mass, n_steps
         )
         logp_new = log_prob(theta_new)
         ke = 0.5 * jnp.sum(inv_mass * mom**2)
@@ -114,10 +122,19 @@ def sample(
         logp = jnp.where(accept, logp_new, logp)
         return theta, logp, accept_prob
 
-    v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, 0, 0))
+    v_kernel = jax.vmap(kernel, in_axes=(0, 0, 0, 0, 0, None))
+
+    def _n_steps(key):
+        if not jitter_steps or num_leapfrog <= 2:
+            return num_leapfrog
+        return jax.random.randint(
+            key, (), max(num_leapfrog // 2, 1), num_leapfrog + 1
+        )
 
     def warmup_step(carry, key):
         theta, logp, da, w_mean, w_m2, count = carry
+        key, k_n = jax.random.split(key)
+        n_steps = _n_steps(k_n)
         keys = jax.random.split(key, num_chains)
         eps = jnp.exp(da.log_eps)
         inv_mass_now = jnp.where(
@@ -125,7 +142,9 @@ def sample(
             w_m2 / jnp.maximum(count - 1.0, 1.0),
             jnp.ones_like(w_m2),
         )
-        theta, logp, accept_prob = v_kernel(theta, logp, keys, eps, inv_mass_now)
+        theta, logp, accept_prob = v_kernel(
+            theta, logp, keys, eps, inv_mass_now, n_steps
+        )
         da = _da_update(da, accept_prob, target=target_accept)
         # Welford accumulation of per-dimension variance for the mass matrix
         count = count + 1.0
@@ -136,8 +155,12 @@ def sample(
 
     def sample_step(carry, key):
         theta, logp, eps, inv_mass = carry
+        key, k_n = jax.random.split(key)
+        n_steps = _n_steps(k_n)
         keys = jax.random.split(key, num_chains)
-        theta, logp, accept_prob = v_kernel(theta, logp, keys, eps, inv_mass)
+        theta, logp, accept_prob = v_kernel(
+            theta, logp, keys, eps, inv_mass, n_steps
+        )
         return (theta, logp, eps, inv_mass), (theta, accept_prob)
 
     def run(init, key):

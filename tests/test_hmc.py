@@ -187,3 +187,84 @@ class TestGPHyperparameterSampling:
         ls_idx = flp.paths.index("kern.lengthscales")
         ls = np.logaddexp(0, x[:, ls_idx]) + 1e-6
         assert 0.3 < np.median(ls) < 3.0
+
+
+class TestSamplePosteriorAPI:
+    def test_one_call_api_with_transforms(self):
+        """sample_posterior returns constrained-space samples keyed by path."""
+        from henbun_tpu.inference import sample_posterior
+
+        X, Y = models.make_sine_dataset(n=30)
+        m = models.GPRMarginal(seed=0, X=X, Y=Y)
+        res, post = sample_posterior(
+            m, "log_marginal", num_chains=4, num_samples=200, num_warmup=200,
+            sampler="chees",
+        )
+        assert set(post) == {"kern.lengthscales", "k_var", "var"}
+        assert post["var"].shape == (200, 4, 1)
+        # positive transform applied
+        assert np.all(post["var"] > 0)
+        assert 0.02 < np.median(post["var"]) < 0.5
+        assert np.asarray(res.accept_prob).mean() > 0.4
+
+    def test_bad_sampler_name(self):
+        from henbun_tpu.inference import sample_posterior
+
+        X, Y = models.make_linear_dataset(n=20)
+        m = models.MAPLinearModel(seed=0, X=X, Y=Y)
+        with pytest.raises(ValueError):
+            sample_posterior(m, "logp", sampler="gibbs")
+
+
+def _quantile_calibration(samples, ess):
+    """Compare empirical quantiles of pooled samples against exact N(0,1)
+    quantiles with ESS-aware tolerances (naive KS on autocorrelated MCMC
+    output rejects spuriously). SE(q-th quantile) = sqrt(q(1-q)/ESS)/phi(z_q);
+    require every deviation within 5 SE."""
+    import scipy.stats as ss
+
+    x = np.asarray(samples).reshape(-1)
+    for q in [0.1, 0.25, 0.5, 0.75, 0.9]:
+        zq = ss.norm.ppf(q)
+        se = np.sqrt(q * (1 - q) / ess) / ss.norm.pdf(zq)
+        dev = np.quantile(x, q) - zq
+        assert abs(dev) < 5 * se, (q, dev, se)
+
+
+class TestCalibration:
+    def test_hmc_quantile_calibration_1d(self):
+        def lp(t):
+            return -0.5 * jnp.sum(t**2)
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (16, 1))
+        res = hmc.sample(
+            lp, init, jax.random.PRNGKey(1), num_samples=1500, num_warmup=500
+        )
+        ess = hmc.effective_sample_size(np.asarray(res.samples))[0]
+        _quantile_calibration(res.samples, ess)
+
+    def test_chees_quantile_calibration_1d(self):
+        from henbun_tpu.inference import chees
+
+        def lp(t):
+            return -0.5 * jnp.sum(t**2)
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (16, 1))
+        res = chees.sample(
+            lp, init, jax.random.PRNGKey(1), num_samples=1500, num_warmup=500
+        )
+        ess = hmc.effective_sample_size(np.asarray(res.samples))[0]
+        _quantile_calibration(res.samples, ess)
+
+    def test_nuts_quantile_calibration_1d(self):
+        from henbun_tpu.inference import nuts
+
+        def lp(t):
+            return -0.5 * jnp.sum(t**2)
+
+        init = jax.random.normal(jax.random.PRNGKey(0), (16, 1))
+        res = nuts.sample(
+            lp, init, jax.random.PRNGKey(1), num_samples=1500, num_warmup=500
+        )
+        ess = hmc.effective_sample_size(np.asarray(res.samples))[0]
+        _quantile_calibration(res.samples, ess)
