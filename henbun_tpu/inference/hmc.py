@@ -41,9 +41,11 @@ class _DAState(NamedTuple):
 
 
 def _da_init(eps0):
+    # log_eps_bar starts at log(eps0) so num_warmup=0 runs use the requested
+    # step size (the first real update overwrites it: eta_1 = 1)
     return _DAState(
         log_eps=jnp.log(eps0),
-        log_eps_bar=jnp.zeros_like(eps0),
+        log_eps_bar=jnp.log(eps0),
         h_bar=jnp.zeros_like(eps0),
         mu=jnp.log(10.0 * eps0),
         count=jnp.zeros_like(eps0),
