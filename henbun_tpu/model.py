@@ -266,20 +266,46 @@ class Optimizer:
             with _ctx.trace(model, params, d, key):
                 return method(model)
 
-        if num_elbo_samples > 1:
+        def _maybe_multisample(fn):
+            if num_elbo_samples <= 1:
+                return fn
             S = int(num_elbo_samples)
 
-            def evaluate(trainable, frozen, data, idx, key):
+            def wrapped(trainable, frozen, data, idx, key):
                 keys = jax.random.split(key, S)
                 vals = jax.vmap(
-                    lambda k: evaluate_one(trainable, frozen, data, idx, k)
+                    lambda k: fn(trainable, frozen, data, idx, k)
                 )(keys)
                 return jnp.mean(vals)
 
-        else:
-            evaluate = evaluate_one
+            return wrapped
+
+        evaluate = _maybe_multisample(evaluate_one)
+
+        def make_block_evaluate(mb_static):
+            """Variant where `idx` is a scalar block START into train-only
+            data; slicing is a contiguous dynamic_slice — at large N the
+            random row gather is HBM-latency-bound while a block read streams
+            (requires the data passed in to be the permuted train split)."""
+
+            def block_one(trainable, frozen, data, start, key):
+                params = dict(trainable)
+                params.update(frozen)
+                d = {}
+                for path, arr in data.items():
+                    if path in mb_paths:
+                        d[path] = jax.lax.dynamic_slice_in_dim(
+                            arr, start, mb_static, 0
+                        )
+                    else:
+                        d[path] = arr
+                with _ctx.trace(model, params, d, key):
+                    return method(model)
+
+            return _maybe_multisample(block_one)
 
         self._evaluate = evaluate
+        self._make_block_evaluate = make_block_evaluate
         self._eval_jit = jax.jit(evaluate, static_argnames=())
         self._eval_full_jit = jax.jit(
             lambda t, f, data, key: evaluate(t, f, data, None, key)
@@ -310,16 +336,20 @@ class Optimizer:
             for v in self.model.get_variables(graph_key.DATA)
         }
 
-    def _get_chunk(self, minibatch_size, n_steps, train_size):
+    def _get_chunk(self, minibatch_size, n_steps, train_size, mode="random"):
         """A jitted function running `n_steps` optimization steps via
-        lax.scan, with the minibatch gather inside the step."""
-        cache_key = (minibatch_size, n_steps, train_size)
+        lax.scan, with the minibatch gather (or block slice) inside the
+        step."""
+        cache_key = (minibatch_size, n_steps, train_size, mode)
         if cache_key in self._chunk_cache:
             return self._chunk_cache[cache_key]
 
-        evaluate = self._evaluate
         tx = self.optimizer
         mb = minibatch_size
+        if mode == "block" and mb is not None:
+            evaluate = self._make_block_evaluate(mb)
+        else:
+            evaluate = self._evaluate
 
         def chunk(trainable, opt_state, frozen, data, keys, train_idx):
             def one_step(carry, key):
@@ -327,6 +357,11 @@ class Optimizer:
                 if mb is None:
                     idx = None
                     k_s = key
+                elif mode == "block":
+                    k_i, k_s = jax.random.split(key)
+                    idx = jax.random.randint(
+                        k_i, (), 0, max(train_size - mb + 1, 1)
+                    )
                 else:
                     k_i, k_s = jax.random.split(key)
                     sel = jax.random.randint(k_i, (mb,), 0, train_size)
@@ -376,8 +411,14 @@ class Optimizer:
 
     # --------------------------------------------------------------- optimize
     def optimize(self, maxiter=1, minibatch_size=None, callback=None,
-                 nan_guard=True):
+                 nan_guard=True, minibatch_mode="random"):
         """Run `maxiter` optimization steps (scan-chunked on device).
+
+        minibatch_mode: 'random' (uniform rows with replacement, the
+        reference's Indexer semantics) or 'block' (a random CONTIGUOUS block
+        of the pre-shuffled train split per step — a contiguous dynamic_slice
+        streams from HBM where large-table random row gathers are
+        latency-bound; the usual large-N practical compromise).
 
         KeyboardInterrupt-safe like the reference loop (model.py:255-269):
         parameters advanced so far are committed back into the model tree.
@@ -400,6 +441,19 @@ class Optimizer:
                 )
             train_idx = jnp.asarray(model._index._train_index)
             train_size = int(model._index.train_size)
+            if minibatch_mode == "block":
+                # one up-front gather of the permuted train split; every step
+                # then reads a CONTIGUOUS block (random row gathers over a
+                # large table are HBM-latency-bound). Requires a pre-shuffled
+                # split — the Indexer's permutation provides it.
+                data = {
+                    path: (
+                        jnp.take(arr, train_idx, axis=0)
+                        if path in self._mb_paths
+                        else arr
+                    )
+                    for path, arr in data.items()
+                }
         else:
             train_idx = jnp.zeros((1,), dtype=jnp.int32)
             train_size = 1
@@ -413,7 +467,9 @@ class Optimizer:
             with trace_if_enabled("optimize"):
                 while done < maxiter:
                     n = min(chunk_size, maxiter - done)
-                    fn = self._get_chunk(minibatch_size, n, train_size)
+                    fn = self._get_chunk(
+                        minibatch_size, n, train_size, minibatch_mode
+                    )
                     if nan_guard:
                         # snapshot host copies so a bad chunk can be rolled
                         # back (donated buffers make device copies unusable)

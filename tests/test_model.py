@@ -273,3 +273,32 @@ class TestMultiSampleELBO:
         opt.compile(optax.adam(0.01), num_elbo_samples=4)
         opt.optimize(maxiter=1500)
         assert np.allclose(m.p.value, 0.0, atol=1e-3)
+
+
+class TestBlockMinibatch:
+    def test_block_mode_converges(self):
+        rng = np.random.default_rng(0)
+        data = (rng.normal(size=(512, 2)) + np.array([1.0, -2.0])).astype(
+            np.float32
+        )
+        m = MinibatchModel(seed=0, data=data)
+        opt = m.obj()
+        opt.compile(optax.adam(0.05))
+        opt.optimize(maxiter=1000, minibatch_size=32, minibatch_mode="block")
+        assert np.allclose(m.p.value, [1.0, -2.0], atol=0.2)
+
+    def test_block_mode_uses_train_split_only(self):
+        """Blocks come from the permuted TRAIN rows: poison the test split
+        and block training must not see it."""
+        data = np.ones((100, 2), dtype=np.float32)
+        m = MinibatchModel(seed=0, data=data)
+        m.validate()
+        test_rows = m._index._test_index
+        poisoned = data.copy()
+        poisoned[test_rows] = 1e6
+        m.x = poisoned
+        opt = m.obj()
+        opt.compile(optax.adam(0.1))
+        opt.optimize(maxiter=400, minibatch_size=10, minibatch_mode="block")
+        # converged to the train-row value (1.0), unaffected by the 1e6 rows
+        assert np.allclose(m.p.value, 1.0, atol=0.1)
