@@ -306,6 +306,22 @@ class Optimizer:
 
         self._evaluate = evaluate
         self._make_block_evaluate = make_block_evaluate
+
+        # eager validation: abstractly trace the objective once so unfed
+        # LOCAL variables / shape errors surface at compile() like the
+        # reference's graph build (model.py:216-229). eval_shape
+        # materializes nothing, so this is cheap even at n=1e6.
+        data_shapes = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+            for k, v in self.model.data_dict().items()
+        }
+        jax.eval_shape(
+            lambda t, f, d, k: evaluate(t, f, d, None, k),
+            self._trainable,
+            self._frozen,
+            data_shapes,
+            jax.random.PRNGKey(0),
+        )
         self._eval_jit = jax.jit(evaluate, static_argnames=())
         self._eval_full_jit = jax.jit(
             lambda t, f, data, key: evaluate(t, f, data, None, key)

@@ -81,3 +81,26 @@ def test_streaming_training(dataset):
         optimize_streaming(opt, dl, slices, maxiter=1500, minibatch_size=64)
     w = m.w.value[:, 0]
     assert np.allclose(w, [1.0, -2.0, 0.5], atol=0.1)
+
+
+def test_streaming_amortized(tmp_path):
+    """Streaming megabatches into the amortized model: the full chain
+    C++ prefetch -> feed-slab encoder -> local q -> scan training."""
+    import henbun_tpu as hb
+    from henbun_tpu import models
+
+    hb.set_seed(0)
+    X, Y = models.make_synthetic_regression(n=4096, d_x=3)
+    path = str(tmp_path / "amortized_rows.f32")
+    n, row_floats, slices = hbio.write_dataset(path, X, Y)
+    m = models.AmortizedRegression(
+        seed=0, X=X[:128], Y=Y[:128], d_z=2, hidden=8
+    )
+    m.n_data = n  # scale to the true dataset size, not the seed slice
+    opt = m.ELBO()
+    opt.compile(optax.adam(0.005))
+    with hbio.OutOfCoreLoader(path, n, row_floats, batch_rows=1024, seed=3) as dl:
+        optimize_streaming(opt, dl, slices, maxiter=600, minibatch_size=64)
+    objs = np.concatenate(opt.history) / n
+    assert np.isfinite(objs).all()
+    assert np.mean(objs[-100:]) > np.mean(objs[:100])

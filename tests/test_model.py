@@ -302,3 +302,23 @@ class TestBlockMinibatch:
         opt.optimize(maxiter=400, minibatch_size=10, minibatch_mode="block")
         # converged to the train-row value (1.0), unaffected by the 1e6 rows
         assert np.allclose(m.p.value, 1.0, atol=0.1)
+
+
+class TestCompileValidation:
+    def test_unfed_local_caught_at_compile(self):
+        """compile() surfaces unfed LOCAL variables eagerly (the reference
+        validates during its graph build)."""
+        class Bad(hb.model.Model):
+            def setUp(self):
+                self.z = hb.variationals.Normal(
+                    shape=[2], collections=hb.graph_key.LOCAL
+                )
+                self.p = hb.Variable([2])
+
+            @hb.AutoOptimize()
+            def obj(self):
+                return jnp.sum(self.z) - jnp.sum(jnp.square(self.p))
+
+        m = Bad(seed=0)
+        with pytest.raises(ValueError, match="not fed"):
+            m.obj().compile()

@@ -79,3 +79,23 @@ def test_safe_cholesky_escalates_jitter():
     L = linalg.safe_cholesky(A, 1e-6)
     assert np.isfinite(np.asarray(L)).all()
     assert np.allclose(np.asarray(L @ L.T), np.asarray(A), atol=0.1)
+
+
+def test_read_config_file_explicit_path(tmp_path):
+    """Explicit-path henbunrc loading and value parsing (the reference's
+    three-location search is exercised implicitly by the default load)."""
+    from henbun_tpu import _settings
+
+    p = tmp_path / "henbunrc"
+    p.write_text(
+        "[dtypes]\nfloat_type = float32\n[numerics]\njitter_level = 3e-4\n"
+        "custom_flag = True\n"
+    )
+    c = _settings.read_config_file(str(p))
+    cfg = _settings.namedtuplify({k: dict(v) for k, v in c.items() if k != "DEFAULT"})
+    assert cfg.numerics.jitter_level == 3e-4
+    assert cfg.numerics.custom_flag is True
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        _settings.read_config_file(str(tmp_path / "missing"))
