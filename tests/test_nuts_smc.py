@@ -219,3 +219,61 @@ class TestSMCModelTree:
         # write a posterior-mean particle back into the tree
         flp.set_model_state(jnp.asarray(x.mean(0)))
         assert abs(float(m.a.value[0]) - 1.0) < 0.15
+
+
+class TestNUTSCheckpointScheme:
+    def test_checkpoint_pairs_match_recursive_tree(self):
+        """The iterative scheme's U-turn checks — at odd leaf i, pairs
+        (i - 2^k + 1, i) for k = 1..trailing_ones(i) — must be EXACTLY the
+        (leftmost, rightmost) leaf pairs of every internal node of the
+        recursive doubling tree. Pure index math, no sampling."""
+
+        def recursive_pairs(lo, hi):
+            if lo == hi:
+                return set()
+            mid = (lo + hi) // 2
+            return (
+                {(lo, hi)}
+                | recursive_pairs(lo, mid)
+                | recursive_pairs(mid + 1, hi)
+            )
+
+        def trailing_ones(x):
+            k = 0
+            while x & 1:
+                k += 1
+                x >>= 1
+            return k
+
+        for d in range(1, 8):
+            n = 2**d
+            iterative = set()
+            for i in range(n):
+                if i % 2 == 1:
+                    for k in range(1, trailing_ones(i) + 1):
+                        iterative.add((i - 2**k + 1, i))
+            assert iterative == recursive_pairs(0, n - 1), d
+
+    def test_checkpoint_slots_no_live_collision(self):
+        """Storing even leaf m at slot popcount(m) must never overwrite a
+        checkpoint that a later odd leaf still needs."""
+
+        def trailing_ones(x):
+            k = 0
+            while x & 1:
+                k += 1
+                x >>= 1
+            return k
+
+        for d in range(1, 8):
+            n = 2**d
+            slot_contents = {}
+            for i in range(n):
+                if i % 2 == 0:
+                    slot_contents[bin(i).count("1")] = i
+                else:
+                    pc = bin(i).count("1")
+                    for k in range(1, trailing_ones(i) + 1):
+                        left = i - 2**k + 1
+                        slot = pc - k
+                        assert slot_contents.get(slot) == left, (d, i, k)
