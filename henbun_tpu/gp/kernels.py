@@ -86,8 +86,14 @@ class UnitStationary(Kern):
     def Cholesky(self, X):
         """Lower Cholesky factor of K(X) + jitter*I; batched if X is
         [N, n, d] (cf. kernels.py:93-101). Uses the NaN-retry escalating
-        jitter of :func:`safe_cholesky` for float32 robustness."""
-        return safe_cholesky(self.K(X), settings.numerics.jitter_level)
+        jitter of :func:`safe_cholesky`, with the base jitter scaled by the
+        matrix size: float32 factorization error grows with n, and the
+        *gradient* NaNs before the forward pass does (n=512 RBF grams
+        diverge at flat 1e-4; the reference itself needed 3e-4 at n=150,
+        Expert_GPR.ipynb cells 11-14 — this scale reproduces that choice)."""
+        n = X.shape[-2]
+        jitter = settings.numerics.jitter_level * max(1.0, n / 96.0)
+        return safe_cholesky(self.K(X), jitter)
 
 
 class UnitRBF(UnitStationary):
