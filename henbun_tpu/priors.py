@@ -1,7 +1,13 @@
 """Prior distributions over (transformed) parameters.
 
-Parity with `/root/reference/Henbun/priors.py:28-117`. Hyperparameters are
-fixed numpy arrays (not trainable), as in the reference.
+Capability parity with `/root/reference/Henbun/priors.py:28-117`:
+``Normal`` (standard), ``Gaussian``, ``LogNormal``, ``Gamma``, ``Laplace``,
+``Uniform`` — each exposing ``logp(x)`` as the SUM of elementwise log
+densities, with fixed (non-trainable) numpy hyperparameters.
+
+Implementation note: all two-hyperparameter priors share one density-backed
+base (`_DensityPrior`) wired to :mod:`henbun_tpu.densities`, so adding a
+prior is a three-line subclass.
 """
 from __future__ import annotations
 
@@ -14,8 +20,9 @@ from . import densities
 
 
 class Prior(Parameterized):
+    """Base class; subclasses implement logp (sum over elements)."""
+
     def logp(self, x):
-        """Sum of elementwise log densities of the prior at x."""
         raise NotImplementedError
 
     def __str__(self):
@@ -23,7 +30,7 @@ class Prior(Parameterized):
 
 
 class Normal(Prior):
-    """Zero-mean unit-variance Gaussian prior."""
+    """Standard normal N(0, 1) — the default whitened-parameter prior."""
 
     def logp(self, x):
         return -0.5 * jnp.sum(np.log(2 * np.pi) + jnp.square(x))
@@ -32,63 +39,76 @@ class Normal(Prior):
         return "N(0,1)"
 
 
-class Gaussian(Prior):
-    def __init__(self, mu, var):
+class _DensityPrior(Prior):
+    """A prior defined by an elementwise density function and two fixed
+    hyperparameter arrays (stored as numpy, broadcast against x)."""
+
+    _density = None           # staticmethod(density(a, b, x) -> logpdf)
+    _tag = "?"
+
+    def __init__(self, a, b):
         Prior.__init__(self)
-        self.mu = np.atleast_1d(np.array(mu, np_float()))
-        self.var = np.atleast_1d(np.array(var, np_float()))
+        self._a = np.atleast_1d(np.array(a, np_float()))
+        self._b = np.atleast_1d(np.array(b, np_float()))
 
     def logp(self, x):
-        return jnp.sum(densities.gaussian(x, self.mu, self.var))
+        return jnp.sum(type(self)._density(self._a, self._b, x))
 
     def __str__(self):
-        return "N(" + str(self.mu) + "," + str(self.var) + ")"
+        return "%s(%s,%s)" % (self._tag, self._a, self._b)
 
 
-class LogNormal(Prior):
+class Gaussian(_DensityPrior):
+    """N(mu, var)."""
+
+    _density = staticmethod(lambda mu, var, x: densities.gaussian(x, mu, var))
+    _tag = "N"
+
     def __init__(self, mu, var):
-        Prior.__init__(self)
-        self.mu = np.atleast_1d(np.array(mu, np_float()))
-        self.var = np.atleast_1d(np.array(var, np_float()))
-
-    def logp(self, x):
-        return jnp.sum(densities.lognormal(x, self.mu, self.var))
-
-    def __str__(self):
-        return "logN(" + str(self.mu) + "," + str(self.var) + ")"
+        super().__init__(mu, var)
+        self.mu, self.var = self._a, self._b
 
 
-class Gamma(Prior):
+class LogNormal(_DensityPrior):
+    """log-normal with parameters (mu, var) of log x."""
+
+    _density = staticmethod(lambda mu, var, x: densities.lognormal(x, mu, var))
+    _tag = "logN"
+
+    def __init__(self, mu, var):
+        super().__init__(mu, var)
+        self.mu, self.var = self._a, self._b
+
+
+class Gamma(_DensityPrior):
+    """Gamma(shape, scale)."""
+
+    _density = staticmethod(densities.gamma)
+    _tag = "Ga"
+
     def __init__(self, shape, scale):
-        Prior.__init__(self)
-        self.shape = np.atleast_1d(np.array(shape, np_float()))
-        self.scale = np.atleast_1d(np.array(scale, np_float()))
-
-    def logp(self, x):
-        return jnp.sum(densities.gamma(self.shape, self.scale, x))
-
-    def __str__(self):
-        return "Ga(" + str(self.shape) + "," + str(self.scale) + ")"
+        super().__init__(shape, scale)
+        self.shape, self.scale = self._a, self._b
 
 
-class Laplace(Prior):
+class Laplace(_DensityPrior):
+    """Laplace(mu, sigma)."""
+
+    _density = staticmethod(densities.laplace)
+    _tag = "Lap."
+
     def __init__(self, mu, sigma):
-        Prior.__init__(self)
-        self.mu = np.atleast_1d(np.array(mu, np_float()))
-        self.sigma = np.atleast_1d(np.array(sigma, np_float()))
-
-    def logp(self, x):
-        return jnp.sum(densities.laplace(self.mu, self.sigma, x))
-
-    def __str__(self):
-        return "Lap.(" + str(self.mu) + "," + str(self.sigma) + ")"
+        super().__init__(mu, sigma)
+        self.mu, self.sigma = self._a, self._b
 
 
 class Uniform(Prior):
+    """Uniform on [lower, upper]: logp = -size(x) * log(upper - lower)."""
+
     def __init__(self, lower=0, upper=1):
         Prior.__init__(self)
-        self.log_height = -np.log(upper - lower)
         self.lower, self.upper = lower, upper
+        self.log_height = -np.log(upper - lower)
 
     def logp(self, x):
         return self.log_height * jnp.asarray(
@@ -96,4 +116,4 @@ class Uniform(Prior):
         )
 
     def __str__(self):
-        return "U(" + str(self.lower) + "," + str(self.upper) + ")"
+        return "U(%s,%s)" % (self.lower, self.upper)
