@@ -24,7 +24,14 @@ from ._settings import settings, np_float
 from . import transforms, priors, densities
 from .core import context as _ctx
 from .core.param import Variable, graph_key, Parameterized, _in_collections
-from .ops.linalg import clip
+from .ops.linalg import clip, vec_to_tri
+
+
+def _packed_diag_indices(s):
+    """Indices of the diagonal within a row-major packed lower triangle:
+    row i's diagonal entry sits at i*(i+1)/2 + i."""
+    i = np.arange(s)
+    return (i * (i + 1)) // 2 + i
 
 
 def _float_type():
@@ -34,9 +41,13 @@ def _float_type():
 class Variational(Parameterized):
     """Multivariate-Gaussian variational posterior over a flattened `shape`.
 
-    q covariance is 'diagonal' (log-std stored in q_sqrt) or 'fullrank'
-    ([size, size] matrix band-parted to lower-triangular at sample time),
-    cf. `variationals.py:84-96`.
+    q covariance (cf. reference variationals.py:84-96):
+      'diagonal'        — log-std stored in q_sqrt;
+      'fullrank'        — dense [size, size] matrix, lower triangle used
+                          (the reference's layout);
+      'fullrank_packed' — the lower triangle packed into size*(size+1)/2
+                          free params: same posterior family at half the
+                          parameters and encoder slab width.
     """
 
     def __init__(
@@ -58,7 +69,7 @@ class Variational(Parameterized):
         self.n_batch = n_batch
         self.size = int(np.prod(self._shape))
         self.collections = collections
-        assert q_shape in ["diagonal", "fullrank"]
+        assert q_shape in ["diagonal", "fullrank", "fullrank_packed"]
         self.q_shape = q_shape
         self.q_mu = Variable(
             self.size,
@@ -78,6 +89,27 @@ class Variational(Parameterized):
                 stddev=0.1,
                 collections=collections,
             )
+        elif self.q_shape == "fullrank_packed":
+            # lower triangle packed row-major into size*(size+1)/2 free
+            # params — half the parameters of the reference's dense [s, s]
+            # storage, whose upper triangle is dead weight the optimizer
+            # still updates (cf. reference variationals.py:93-96,144-146).
+            # Enabled by the native vec_to_tri (the reference's was a
+            # disabled C++ op). Diagonal entries init ~stddev, off-diag ~0.
+            tri_init = np.zeros(self.size * (self.size + 1) // 2, np_float())
+            tri_init[_packed_diag_indices(self.size)] = stddev
+            self.q_sqrt = Variable(
+                self.size * (self.size + 1) // 2,
+                n_layers=n_layers,
+                n_batch=self.n_batch,
+                mean=0.0,
+                stddev=0.1 * stddev,
+                collections=collections,
+            )
+            if collections not in graph_key.not_parameters:
+                self.q_sqrt.set_free_value(
+                    np.asarray(self.q_sqrt.free_value) + tri_init
+                )
         else:
             self.q_sqrt = Variable(
                 [self.size, self.size],
@@ -125,7 +157,10 @@ class Variational(Parameterized):
         (cf. variationals.py:131-153)."""
         if self.q_shape == "diagonal":
             return self.q_mu + jnp.exp(self.q_sqrt) * u
-        sqrt = jnp.tril(self.q_sqrt)
+        if self.q_shape == "fullrank_packed":
+            sqrt = vec_to_tri(self.q_sqrt, self.size)
+        else:
+            sqrt = jnp.tril(self.q_sqrt)
         return self.q_mu + jnp.einsum("...ij,...j->...i", sqrt, u)
 
     def tensor(self):
@@ -168,7 +203,10 @@ class Variational(Parameterized):
         # epsilon keeps the barrier (and its gradient) finite when an Adam
         # step pushes a diagonal entry across zero; an exact log(d^2) emits an
         # infinite gradient there and one such step NaNs the training state
-        diag = jnp.diagonal(self.q_sqrt, axis1=-2, axis2=-1)
+        if self.q_shape == "fullrank_packed":
+            diag = self.q_sqrt[..., _packed_diag_indices(self.size)]
+        else:
+            diag = jnp.diagonal(self.q_sqrt, axis1=-2, axis2=-1)
         return jnp.log(jnp.square(diag) + 1e-20)
 
     def KL(self, collection=None):

@@ -219,3 +219,82 @@ class TestPredefined:
         s = np.asarray(run_traced(m, lambda mm: mm.q))
         assert s.shape == (3,)
         assert np.isfinite(s).all()
+
+
+class TestFullrankPacked:
+    def test_param_count_halved(self):
+        m = hb.model.Model()
+        m.qd = hb.variationals.Variational(shape=[8], q_shape="fullrank")
+        m.qp = hb.variationals.Variational(shape=[8], q_shape="fullrank_packed")
+        dense = np.asarray(m.qd.q_sqrt.free_value).size
+        packed = np.asarray(m.qp.q_sqrt.free_value).size
+        assert dense == 64 and packed == 36
+
+    def test_sample_matches_numpy_packed(self):
+        m = hb.model.Model()
+        m.q = hb.variationals.Variational(shape=[3], q_shape="fullrank_packed")
+        m.initialize()
+        q_mu = np.asarray(m.q.q_mu.free_value)
+        vec = np.asarray(m.q.q_sqrt.free_value)
+        tri = np.zeros((3, 3), np.float32)
+        tri[np.tril_indices(3)] = vec
+
+        def fn(mm):
+            s = mm.q
+            return ctx_mod.current().samples["q"]["u"], s
+
+        u, sample = run_traced(m, fn)
+        assert np.allclose(np.asarray(sample), q_mu + tri @ np.asarray(u), atol=1e-5)
+
+    def test_logdet_uses_packed_diagonal(self):
+        m = hb.model.Model()
+        m.q = hb.variationals.Variational(shape=[4], q_shape="fullrank_packed")
+        m.initialize()
+        vec = np.asarray(m.q.q_sqrt.free_value)
+        tri = np.zeros((4, 4), np.float32)
+        tri[np.tril_indices(4)] = vec
+        ld = run_traced(m, lambda mm: mm.__dict__["q"].logdet)
+        assert np.allclose(
+            np.asarray(ld), np.log(np.diag(tri) ** 2 + 1e-20), atol=1e-5
+        )
+
+    def test_gpr_with_packed_posterior_converges(self):
+        import optax
+        from henbun_tpu import models, densities
+        from henbun_tpu.ops.linalg import matmul_hp
+
+        X, Y = models.make_sine_dataset(n=30)
+
+        class PackedGPR(hb.model.Model):
+            def setUp(self):
+                self.X = hb.Data(X)
+                self.Y = hb.Data(Y)
+                self.q = hb.variationals.Gaussian(
+                    shape=list(X.shape), q_shape="fullrank_packed"
+                )
+                self.kern = hb.gp.kernels.UnitRBF()
+                self.k_var = hb.Variable([1], transform=hb.transforms.positive)
+                self.var = hb.Variable([1], transform=hb.transforms.positive)
+
+            @hb.AutoOptimize()
+            def ELBO(self):
+                f = matmul_hp(self.kern.Cholesky(self.X), self.q) * jnp.sqrt(
+                    self.k_var
+                )
+                return jnp.sum(densities.gaussian(self.Y, f, self.var)) - self.KL()
+
+        m = PackedGPR(seed=0)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.01))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=4000)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+
+    def test_local_packed_feed_size(self):
+        m = hb.model.Model()
+        m.q = hb.variationals.Normal(
+            shape=[4], q_shape="fullrank_packed", collections=hb.graph_key.LOCAL
+        )
+        # q_mu (4) + packed q_sqrt (10)
+        assert m.q.feed_size == 14
