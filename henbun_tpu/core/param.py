@@ -481,7 +481,16 @@ class ParamList(Parameterized):
     def __getitem__(self, key):
         o = self._list[key]
         ctx = _ctx.current()
-        if ctx is not None and isinstance(o, Variable) and o.path_to(ctx.root) is not None:
+        # same swap rule as Parameterized.__getattribute__: any node exposing
+        # tensor() (Variable, Variational) yields its tensor inside a trace.
+        # (The reference's __getitem__ only swapped Variables,
+        # param.py:644-653 — Variationals in a ParamList returned raw there.)
+        if (
+            ctx is not None
+            and isinstance(o, (Variable, Parameterized))
+            and hasattr(o, "tensor")
+            and o.path_to(ctx.root) is not None
+        ):
             return o.tensor()
         return o
 
