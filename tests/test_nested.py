@@ -148,3 +148,67 @@ class TestTransformedVariationalTraining:
         draws = np.asarray(m.draws(lambda mm: mm.rate, 200))
         assert np.all(draws > 0)
         assert 3.0 < draws.mean() < 10.0
+
+
+class TestLayeredLocalVariational:
+    def test_layered_variational_feed(self):
+        """n_layers-batched LOCAL Variational: slab [L, N, feed] unpacks per
+        layer (the reference's NN-layer amortization idiom)."""
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.Normal(
+            shape=[2], n_layers=[3], collections=hb.graph_key.LOCAL
+        )
+        assert m.q.feed_size == 4
+        N = 5
+        slab = np.random.default_rng(0).normal(size=(3, N, 4)).astype(np.float32)
+
+        def fn(mm):
+            mm.q = jnp.asarray(slab)
+            st = ctx_mod.current().samples["q"]
+            return mm.q, st["u"]
+
+        sample, u = m.run(fn, key=jax.random.PRNGKey(0))
+        assert sample.shape == (3, N, 2)
+        expected = slab[..., :2] + np.exp(slab[..., 2:]) * np.asarray(u)
+        assert np.allclose(np.asarray(sample), expected, atol=1e-5)
+
+
+class TestIntegerData:
+    def test_poisson_regression_with_int_counts(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 2, size=(300, 1)).astype(np.float32)
+        lam = np.exp(0.5 + 1.0 * x)
+        y = rng.poisson(lam).astype(np.int64)
+
+        class M(hb.model.Model):
+            def setUp(self):
+                self.x = hb.Data(x)
+                self.y = hb.Data(y)  # int data -> int32
+                self.a = hb.Variable([1])
+                self.b = hb.Variable([1])
+
+            @hb.AutoOptimize()
+            def logp(self):
+                lam = jnp.exp(self.a + self.b * self.x)
+                return jnp.sum(
+                    hb.densities.poisson(lam, self.y.astype(jnp.float32))
+                )
+
+        m = M(seed=0)
+        assert m.y.data.dtype == np.int32
+        opt = m.logp()
+        opt.compile(optax.adam(0.05))
+        opt.optimize(maxiter=1500)
+        assert abs(float(m.a.value[0]) - 0.5) < 0.2
+        assert abs(float(m.b.value[0]) - 1.0) < 0.2
+
+
+class TestRunFeedDictOverride:
+    def test_feed_dict_overrides_data(self):
+        m = hb.model.Model(seed=0)
+        m.x = hb.Data(np.zeros((3, 1), np.float32))
+        out = m.run(
+            lambda mm: mm.x * 2,
+            feed_dict={"x": jnp.ones((3, 1))},
+        )
+        assert np.allclose(np.asarray(out), 2.0)
