@@ -33,6 +33,9 @@ def main():
     except Exception:
         pass
 
+    def note(msg):
+        print("[bench] " + msg, file=sys.stderr, flush=True)
+
     hb.set_seed(0)
     X, Y = models.make_sine_dataset(n=40)
     m = models.GPR(seed=0, X=X, Y=Y)
@@ -45,8 +48,10 @@ def main():
     # best-of-N timing: the tunneled chip's throughput varies 2-3x between
     # moments; best-of keeps the measurement about the program, and the
     # vs_baseline ratio uses best-of on both sides
+    note("compiling scan chunk (first compile can take minutes on a cold cache)")
     opt.optimize(maxiter=chunk)  # compile + warm up
-    reps = 2 if QUICK else 4
+    note("warmed; timing scanned loop")
+    reps = 2 if QUICK else 3
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -73,7 +78,8 @@ def main():
     key = jax.random.PRNGKey(0)
     trainable, opt_state, obj = one_step(trainable, opt_state, key)  # compile
     jax.block_until_ready(obj)
-    n_base = 5 if QUICK else 15
+    note("timing per-step-dispatch baseline")
+    n_base = 5 if QUICK else 10
     best_base = float("inf")
     for rep in range(2 if QUICK else 3):
         t0 = time.perf_counter()
