@@ -226,8 +226,10 @@ class ShardedOptimizer:
         data = self._sharded_data()
         if key is None:
             key = self.model._next_key()
-        return np.asarray(
-            jax.jit(lambda t, f, d, k: self._evaluate(t, f, d, None, k))(
-                self._trainable, self._frozen, data, key
+        if not hasattr(self, "_run_jit"):
+            self._run_jit = jax.jit(
+                lambda t, f, d, k: self._evaluate(t, f, d, None, k)
             )
+        return np.asarray(
+            self._run_jit(self._trainable, self._frozen, data, key)
         )
