@@ -298,3 +298,50 @@ class TestFullrankPacked:
         )
         # q_mu (4) + packed q_sqrt (10)
         assert m.q.feed_size == 14
+
+
+class TestMoreLocalFeeds:
+    def test_offset_gaussian_local_feed(self):
+        """OffsetGaussian LOCAL: slab packs offset, q_mu, q_sqrt, scale in
+        name-sorted order."""
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.OffsetGaussian(
+            shape=[2], collections=hb.graph_key.LOCAL
+        )
+        # offset(1) + q_mu(2) + q_sqrt(2) + scale(1)
+        assert m.q.feed_size == 6
+        N = 3
+        slab = np.random.default_rng(0).normal(size=(N, 6)).astype(np.float32)
+
+        def fn(mm):
+            mm.q = jnp.asarray(slab)
+            st = ctx_mod.current().samples["q"]
+            return mm.q, st["u"]
+
+        sample, u = run_traced(m, fn)
+        assert sample.shape == (N, 2)
+        # name-sorted: offset, q_mu, q_sqrt, scale
+        offset = slab[:, 0:1]
+        q_mu = slab[:, 1:3]
+        q_sqrt = slab[:, 3:5]
+        scale = np.logaddexp(0, slab[:, 5:6]) + 1e-6
+        raw = q_mu + np.exp(q_sqrt) * np.asarray(u)
+        assert np.allclose(np.asarray(sample), scale * raw + offset, atol=1e-5)
+
+    def test_beta_local_feed_in_unit_interval(self):
+        m = hb.model.Model(seed=0)
+        m.q = hb.variationals.Beta(shape=[2], collections=hb.graph_key.LOCAL)
+        # alpha(1) + beta(1) + q_mu(2) + q_sqrt(2)
+        assert m.q.feed_size == 6
+        N = 4
+        slab = np.random.default_rng(1).normal(size=(N, 6)).astype(np.float32)
+
+        def fn(mm):
+            mm.q = jnp.asarray(slab)
+            return mm.q, mm.KL()
+
+        sample, kl = run_traced(m, fn)
+        assert sample.shape == (N, 2)
+        s = np.asarray(sample)
+        assert np.all(s > 0) and np.all(s < 1)
+        assert np.isfinite(float(kl))
