@@ -446,6 +446,33 @@ class Parameterized(Parentable):
             out = out + k
         return out
 
+    def describe(self):
+        """Human-readable tree summary: one line per leaf with shape,
+        transform, collections, plus a parameter-count total."""
+        lines = []
+        total = 0
+        for v in self.get_variables():
+            kind = (
+                v.collections
+                if isinstance(v.collections, str)
+                else ",".join(map(str, v.collections))
+            )
+            if v.collections in graph_key.not_parameters:
+                size = getattr(v, "feed_size", 0)
+                shape = tuple(getattr(v, "shape", ()))
+                if v.collections is graph_key.DATA:
+                    shape = np.shape(getattr(v, "data", ()))
+            else:
+                shape = np.shape(v.free_value)
+                size = int(np.prod(shape)) if shape else 1
+                total += size
+            lines.append(
+                "%-40s %-16s %-12s %s"
+                % (v.path_to(self) or v.name, str(shape), kind, str(v.transform))
+            )
+        lines.append("trainable parameters: %d" % total)
+        return "\n".join(lines)
+
     # --- checkpointing (cf. param.py:562-603) --------------------------------
     def save(self, save_path=None, global_step=None):
         """Save the subtree's global parameters, keyed by long_name, as an

@@ -279,3 +279,16 @@ class TestNodeReplacement:
         assert old._parent is None
         assert new._parent is m
         assert m.p is new
+
+
+class TestDescribe:
+    def test_describe_summarizes_tree(self):
+        m = hb.model.Model(seed=0)
+        m.p = hb.Variable([2, 3], transform=hb.transforms.positive)
+        m.q = hb.variationals.Normal(shape=[4])
+        m.x = hb.Data(np.zeros((5, 1), np.float32))
+        m.l = hb.Variable([2], collections=hb.graph_key.LOCAL)
+        out = m.describe()
+        assert "p" in out and "q.q_mu" in out and "+ve" in out
+        # 6 (p) + 4 (q_mu) + 4 (q_sqrt) = 14 trainables
+        assert "trainable parameters: 14" in out
