@@ -39,6 +39,23 @@ class ExpertGPR(hb.model.Model):
         fraction = jax.nn.sigmoid(f_r)
         return (fraction * f_s + (1 - fraction) * f_l) * self.k_var
 
+    def predict_f(self, x_new):
+        """Posterior mixture samples at new inputs: each latent GP is
+        conditioned through its whitened representation (no reference
+        counterpart — the notebook only draws at training X)."""
+        from henbun_tpu.gp.gp import whitened_conditional
+
+        def cond(kern, q):
+            u = jnp.swapaxes(q, -1, -2)  # [1, n]
+            out = whitened_conditional(kern, x_new, self.X, u, "diagonal")
+            return jnp.swapaxes(out, -1, -2)  # [n*, 1]
+
+        f_s = cond(self.kern_s, self.q_s)
+        f_l = cond(self.kern_l, self.q_l)
+        f_r = cond(self.kern_r, self.q_r) * jnp.sqrt(self.k_var_r)
+        fraction = jax.nn.sigmoid(f_r)
+        return (fraction * f_s + (1 - fraction) * f_l) * self.k_var
+
     @hb.AutoOptimize()
     def ELBO(self):
         f = self.f_mixture()

@@ -55,6 +55,11 @@ class TestExpertGPR:
         main.optimize(maxiter=500)
         e1 = float(main.run())
         assert np.isfinite(e1) and e1 > e0
+        # prediction at new inputs through the three whitened conditionals
+        grid = np.linspace(-1, 1, 25)[:, None].astype(np.float32)
+        bands = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 20))
+        assert bands.shape == (20, 25, 1)
+        assert np.isfinite(bands).all()
 
 
 class TestLinear:
