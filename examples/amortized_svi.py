@@ -4,6 +4,13 @@ Optionally data-parallel over all visible devices.
 
 Run: python examples/amortized_svi.py [--n 1000000] [--sharded]
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -5,6 +5,13 @@ notebook's cells 11-14 demonstrate for the settings system).
 
 Run: python examples/expert_gpr.py
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import optax
 

@@ -6,6 +6,13 @@ then refits with a Student-t likelihood for robustness to outliers.
 
 Run: python examples/gaussian_process.py [--iters 20000]
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -3,6 +3,13 @@
 
 Run: python examples/hmc_bnn.py [--sampler nuts] [--chains 256]
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

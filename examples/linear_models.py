@@ -3,6 +3,13 @@ Henbun_structure2 tutorial workloads.
 
 Run: python examples/linear_models.py
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import optax
 

@@ -8,6 +8,13 @@ against the analytic posterior.
 
 Run: python examples/smc_tomography.py [--grid 8] [--particles 4096]
 """
+import os
+import sys
+
+# Allow `python examples/<name>.py` without installing the package: Python
+# puts the script's directory (not the cwd) on sys.path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -90,6 +90,11 @@ class Model(Parameterized):
         per draw. Here the trace is pure, so draws vectorize over PRNG keys
         into a single device call; the leading axis of the result is the draw
         axis.
+
+        The jitted program is cached per objective function (bound methods
+        hash by their underlying function), so repeated calls — and calls
+        after committing new parameter values — reuse the same executable;
+        only a change of `num` or of data shapes retraces.
         """
         self.initialize()
         params = self.param_dict()
@@ -97,12 +102,25 @@ class Model(Parameterized):
         if key is None:
             key = self._next_key()
 
-        def one(k):
-            with _ctx.trace(self, params, data, k):
-                return fn(self)
+        cache = self.__dict__.setdefault("_draws_jit_cache", {})
+        cache_key = getattr(fn, "__func__", fn)
+        jitted = cache.get(cache_key)
+        if jitted is None:
+            if len(cache) >= 32:  # fresh lambdas never hit; bound the growth
+                cache.clear()
+
+            def batched(params, data, keys):
+                def one(k):
+                    with _ctx.trace(self, params, data, k):
+                        return fn(self)
+
+                return jax.vmap(one)(keys)
+
+            jitted = jax.jit(batched)
+            cache[cache_key] = jitted
 
         keys = jax.random.split(key, num)
-        return jax.jit(jax.vmap(one))(keys)
+        return jitted(params, data, keys)
 
     def _gather_data(self, minibatch_index=None):
         out = {}

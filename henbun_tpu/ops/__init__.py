@@ -1,3 +1,13 @@
 from . import linalg
-from .linalg import eye, clip, log_sum_exp, vec_to_tri, tri_to_vec, matmul_hp
+from .linalg import (
+    eye,
+    clip,
+    log_sum_exp,
+    vec_to_tri,
+    tri_to_vec,
+    fill_triangular,
+    fill_triangular_inverse,
+    fill_triangular_diag_indices,
+    matmul_hp,
+)
 from . import pallas_mlp, pallas_sample

@@ -24,14 +24,14 @@ from ._settings import settings, np_float
 from . import transforms, priors, densities
 from .core import context as _ctx
 from .core.param import Variable, graph_key, Parameterized, _in_collections
-from .ops.linalg import clip, vec_to_tri
+from .ops.linalg import clip, fill_triangular, fill_triangular_diag_indices
 
 
 def _packed_diag_indices(s):
-    """Indices of the diagonal within a row-major packed lower triangle:
-    row i's diagonal entry sits at i*(i+1)/2 + i."""
-    i = np.arange(s)
-    return (i * (i + 1)) // 2 + i
+    """Indices of the diagonal within the packed lower triangle. The packed
+    layout is :func:`ops.linalg.fill_triangular`'s (scatter-free to unpack on
+    TPU), not row-major."""
+    return fill_triangular_diag_indices(s)
 
 
 def _float_type():
@@ -90,12 +90,14 @@ class Variational(Parameterized):
                 collections=collections,
             )
         elif self.q_shape == "fullrank_packed":
-            # lower triangle packed row-major into size*(size+1)/2 free
-            # params — half the parameters of the reference's dense [s, s]
-            # storage, whose upper triangle is dead weight the optimizer
-            # still updates (cf. reference variationals.py:93-96,144-146).
-            # Enabled by the native vec_to_tri (the reference's was a
-            # disabled C++ op). Diagonal entries init ~stddev, off-diag ~0.
+            # lower triangle packed into size*(size+1)/2 free params — half
+            # the parameters of the reference's dense [s, s] storage, whose
+            # upper triangle is dead weight the optimizer still updates
+            # (cf. reference variationals.py:93-96,144-146). Layout is
+            # fill-triangular order (ops/linalg.fill_triangular): unpacking is
+            # concat+flip+reshape, no scatter, so the per-step cost matches
+            # the dense layout on TPU (benchmarks/packed_bench.py).
+            # Diagonal entries init ~stddev, off-diag ~0.
             tri_init = np.zeros(self.size * (self.size + 1) // 2, np_float())
             tri_init[_packed_diag_indices(self.size)] = stddev
             self.q_sqrt = Variable(
@@ -158,7 +160,7 @@ class Variational(Parameterized):
         if self.q_shape == "diagonal":
             return self.q_mu + jnp.exp(self.q_sqrt) * u
         if self.q_shape == "fullrank_packed":
-            sqrt = vec_to_tri(self.q_sqrt, self.size)
+            sqrt = fill_triangular(self.q_sqrt, self.size)
         else:
             sqrt = jnp.tril(self.q_sqrt)
         return self.q_mu + jnp.einsum("...ij,...j->...i", sqrt, u)

@@ -48,6 +48,36 @@ def test_vec_tri_roundtrip_and_grad():
     assert np.allclose(np.asarray(g), 2 * np.arange(6))
 
 
+def test_fill_triangular_roundtrip_properties():
+    # every packed entry lands exactly once in the lower triangle
+    for n in (1, 2, 3, 5, 8):
+        m = n * (n + 1) // 2
+        vec = jnp.arange(1, m + 1, dtype=jnp.float32)
+        mat = np.asarray(linalg.fill_triangular(vec, n))
+        assert mat.shape == (n, n)
+        assert np.allclose(np.triu(mat, 1), 0.0)
+        assert sorted(mat[np.tril_indices(n)].tolist()) == list(
+            range(1, m + 1)
+        )
+        back = np.asarray(linalg.fill_triangular_inverse(jnp.asarray(mat)))
+        assert np.allclose(back, np.asarray(vec))
+        # diagonal indices address the diagonal
+        d = linalg.fill_triangular_diag_indices(n)
+        assert np.allclose(np.asarray(vec)[d], np.diag(mat))
+
+
+def test_fill_triangular_batched_and_grad():
+    vec = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4, 10)).astype(np.float32)
+    )
+    mat = linalg.fill_triangular(vec)
+    assert mat.shape == (2, 4, 4, 4)
+    single = linalg.fill_triangular(vec[1, 2])
+    assert np.allclose(np.asarray(mat[1, 2]), np.asarray(single))
+    g = jax.grad(lambda v: jnp.sum(linalg.fill_triangular(v) ** 2))(vec)
+    assert np.allclose(np.asarray(g), 2 * np.asarray(vec))
+
+
 def test_settings_parse_types():
     assert hb.settings.dtypes.float_type == jnp.float32
     assert isinstance(hb.settings.numerics.jitter_level, float)

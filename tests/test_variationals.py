@@ -236,8 +236,8 @@ class TestFullrankPacked:
         m.initialize()
         q_mu = np.asarray(m.q.q_mu.free_value)
         vec = np.asarray(m.q.q_sqrt.free_value)
-        tri = np.zeros((3, 3), np.float32)
-        tri[np.tril_indices(3)] = vec
+        # independent numpy oracle of the fill-triangular layout
+        tri = np.tril(np.concatenate([vec[3:], vec[::-1]]).reshape(3, 3))
 
         def fn(mm):
             s = mm.q
@@ -251,8 +251,7 @@ class TestFullrankPacked:
         m.q = hb.variationals.Variational(shape=[4], q_shape="fullrank_packed")
         m.initialize()
         vec = np.asarray(m.q.q_sqrt.free_value)
-        tri = np.zeros((4, 4), np.float32)
-        tri[np.tril_indices(4)] = vec
+        tri = np.tril(np.concatenate([vec[4:], vec[::-1]]).reshape(4, 4))
         ld = run_traced(m, lambda mm: mm.__dict__["q"].logdet)
         assert np.allclose(
             np.asarray(ld), np.log(np.diag(tri) ** 2 + 1e-20), atol=1e-5
