@@ -10,4 +10,4 @@ from .linalg import (
     fill_triangular_diag_indices,
     matmul_hp,
 )
-from . import pallas_mlp, pallas_sample
+from . import pallas_mlp, pallas_sample, pallas_chol

@@ -120,3 +120,34 @@ class TestFusedSampleKL:
         gr = jax.grad(loss_ref, argnums=(0, 1))(slab, u)
         for a, b in zip(gf, gr):
             assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestPallasCholesky:
+    def _spd(self, n, seed=0):
+        B = np.random.default_rng(seed).normal(size=(n, n)).astype(np.float32)
+        return B @ B.T + n * np.eye(n, dtype=np.float32)
+
+    @pytest.mark.parametrize("n", [3, 8, 40, 100, 128])
+    def test_matches_xla_cholesky(self, n):
+        from henbun_tpu.ops.pallas_chol import cholesky128
+
+        A = self._spd(n)
+        L = np.asarray(cholesky128(jnp.asarray(A), interpret=True))
+        Lref = np.linalg.cholesky(A)
+        assert L.shape == (n, n)
+        assert np.allclose(L, Lref, atol=1e-3 * np.abs(Lref).max())
+        # strictly lower output above the diagonal
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+    def test_nan_on_non_spd(self):
+        from henbun_tpu.ops.pallas_chol import cholesky128
+
+        A = -np.eye(8, dtype=np.float32)  # negative pivots
+        L = np.asarray(cholesky128(jnp.asarray(A), interpret=True))
+        assert np.isnan(L).any()
+
+    def test_rejects_large(self):
+        from henbun_tpu.ops.pallas_chol import cholesky128
+
+        with pytest.raises(ValueError):
+            cholesky128(jnp.eye(129))
