@@ -42,6 +42,7 @@ def _lib():
         lib.hb_loader_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.c_int64,
         ]
         lib.hb_loader_next.restype = ctypes.POINTER(ctypes.c_float)
         lib.hb_loader_next.argtypes = [ctypes.c_void_p]
@@ -76,16 +77,26 @@ class OutOfCoreLoader:
     device computes, so disk latency overlaps with training. Rows are sampled
     with replacement from the first `train_rows` rows (the Indexer's
     train-split contract).
+
+    `block_rows > 0` switches to block-then-row sampling: each megabatch is
+    assembled from random CONTIGUOUS runs of `block_rows` rows instead of
+    independent rows. Random 40-byte-row reads amplify page IO ~100x on a
+    >RAM file (each row touches a 4KB page); contiguous runs make the disk
+    reads sequential. Requires a pre-shuffled file (rows within a run are
+    file-neighbors) — the same contract as the on-device 'block' minibatch
+    mode.
     """
 
     def __init__(self, path, n_rows, row_floats, batch_rows,
-                 n_buffers=3, n_threads=2, seed=0, train_rows=0):
+                 n_buffers=3, n_threads=2, seed=0, train_rows=0,
+                 block_rows=0):
         self._lib = _lib()
         self.batch_rows = int(batch_rows)
         self.row_floats = int(row_floats)
         self._h = self._lib.hb_loader_open(
             str(path).encode(), int(n_rows), int(row_floats), int(batch_rows),
             int(n_buffers), int(n_threads), int(seed), int(train_rows),
+            int(block_rows),
         )
         if not self._h:
             raise IOError("failed to open dataset %s" % path)

@@ -47,6 +47,51 @@ def test_train_rows_restriction(dataset):
             assert r.tobytes() in train_set
 
 
+def test_block_sampling_contiguous_runs(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    rows = np.concatenate([X, Y], axis=1)
+    row_index = {r.tobytes(): i for i, r in enumerate(rows)}
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=96, seed=5, block_rows=32
+    ) as dl:
+        batch = dl.next()
+        idx = np.array([row_index[r.tobytes()] for r in batch])
+        # each 32-row group is one contiguous run from the file
+        for g in range(0, 96, 32):
+            run = idx[g : g + 32]
+            assert np.array_equal(run, np.arange(run[0], run[0] + 32))
+        # distinct groups land at (almost surely) different offsets
+        assert len({int(idx[g]) for g in range(0, 96, 32)}) > 1
+
+
+def test_block_sampling_respects_train_split(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    rows = np.concatenate([X, Y], axis=1)
+    train = 200
+    train_set = {r.tobytes() for r in rows[:train]}
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=256, seed=6,
+        train_rows=train, block_rows=64,
+    ) as dl:
+        for r in dl.next():
+            assert r.tobytes() in train_set
+
+
+def test_block_sampling_ragged_tail_and_oversized_block(dataset):
+    path, n, row_floats, slices, X, Y = dataset
+    rows = np.concatenate([X, Y], axis=1)
+    row_set = {r.tobytes() for r in rows}
+    # batch not a multiple of block; block larger than train_rows clamps
+    with hbio.OutOfCoreLoader(
+        path, n, row_floats, batch_rows=50, seed=7,
+        train_rows=40, block_rows=1000,
+    ) as dl:
+        batch = dl.next()
+        assert batch.shape == (50, 4)
+        for r in batch:
+            assert r.tobytes() in row_set
+
+
 def test_successive_batches_differ_and_overlap_prefetch(dataset):
     path, n, row_floats, slices, X, Y = dataset
     with hbio.OutOfCoreLoader(
