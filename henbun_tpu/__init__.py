@@ -42,6 +42,7 @@ from . import model
 from . import nn
 from . import gp
 from . import ops
+from . import optimizers
 from . import inference
 from . import parallel
 from . import utils

@@ -20,7 +20,8 @@ from henbun_tpu import densities
 
 
 class SVGPRegression(hb.model.Model):
-    def setUp(self, X, Y, num_inducing=64, q_shape="fullrank"):
+    def setUp(self, X, Y, num_inducing=64, q_shape="fullrank",
+              analytic_kl=False):
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
@@ -31,13 +32,28 @@ class SVGPRegression(hb.model.Model):
         self.gp = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z)
         # whitened inducing-value posterior: one sample per trace, shared
         # across the minibatch (n_batch=1 broadcasting over the batch matmul)
-        self.u = hb.variationals.Normal(shape=[1, num_inducing], q_shape=q_shape)
+        self.u = hb.variationals.Normal(
+            shape=[1, num_inducing], q_shape=q_shape, analytic_kl=analytic_kl
+        )
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
 
     def f(self, q_shape="diagonal"):
         """Posterior function samples at the current minibatch, [1, |B|]."""
         return self.gp.samples(self.x, self.u, q_shape) * jnp.sqrt(self.k_var)
+
+    def predict_f(self, x_new, q_shape="diagonal"):
+        """Posterior samples of f at new inputs [n*, d] -> [1, n*].
+
+        SparseGP.samples already conditions on arbitrary inputs (the
+        inducing-point projection Lm^-1 K(z, x*) does not care whether x* is
+        a training minibatch), so prediction is the same code path as
+        training. Use with Model.draws for bands:
+        >>> bands = m.draws(lambda mm: mm.predict_f(grid)[0], 100)
+        """
+        return self.gp.samples(
+            jnp.asarray(x_new), self.u, q_shape
+        ) * jnp.sqrt(self.k_var)
 
     @hb.AutoOptimize()
     def ELBO(self):
@@ -46,3 +62,43 @@ class SVGPRegression(hb.model.Model):
         scale = self.n_data / batch
         log_lik = jnp.sum(densities.gaussian(self.y, f, self.var))
         return scale * log_lik - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_analytic(self):
+        """Closed-form expected log-likelihood (no f sampling): with
+        whitened q(u) = N(mu, S) and B = Lm^-1 K(z, x),
+
+            E[f_i] = (B^T mu)_i sqrt(k_var)
+            V[f_i] = k_var [ (B^T S B)_ii + (Knn - Kmn^T Kmm^-1 Kmn)_ii ]
+            E[log N(y|f, var)] = log N(y | E[f], var) - V[f] / (2 var)
+
+        Zero likelihood-gradient variance from the u sample — the estimator
+        the natural-gradient optimizer wants (Salimbeni & al.; the MC `ELBO`
+        above is the reference-style single-sample estimator). Combine with
+        `analytic_kl=True` on the inducing posterior for a fully
+        deterministic objective given the minibatch."""
+        from henbun_tpu.ops.linalg import fill_triangular, matmul_hp
+
+        q = self.__dict__["u"]  # the Variational node, not a sample
+        mu = q.q_mu  # [m] free-space means of the whitened inducing values
+        LnT = self.gp._effective_LT(self.x)  # [m, |B|]
+        mean = matmul_hp(mu[None, :], LnT)[0]  # [|B|]
+        if q.q_shape == "diagonal":
+            Svar = jnp.exp(2.0 * q.q_sqrt)  # [m]
+            qvar = jnp.sum(jnp.square(LnT) * Svar[:, None], axis=0)
+        else:
+            Lq = (
+                fill_triangular(q.q_sqrt, q.size)
+                if q.q_shape == "fullrank_packed"
+                else jnp.tril(q.q_sqrt)
+            )
+            T = matmul_hp(jnp.swapaxes(Lq, -1, -2), LnT)  # [m, |B|]
+            qvar = jnp.sum(jnp.square(T), axis=0)
+        corr = self.gp._additional_cov(self.x, LnT, "diagonal")  # [|B|]
+        fmean = mean * jnp.sqrt(self.k_var)
+        fvar = (qvar + corr) * self.k_var
+        ell = jnp.sum(
+            densities.gaussian(self.y, fmean[:, None], self.var)
+        ) - jnp.sum(fvar) / (2.0 * self.var[0])
+        batch = fmean.shape[0]
+        return (self.n_data / batch) * ell - self.KL()

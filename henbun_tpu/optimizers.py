@@ -1,0 +1,217 @@
+"""Optimizers beyond optax: natural gradients for Gaussian posteriors.
+
+The reference optimizes variational parameters with plain Adam
+(`/root/reference/Henbun/model.py:206-221`). For Gaussian q, the natural
+gradient — the gradient preconditioned by the inverse Fisher of the
+variational family — is the classic large-step optimizer (Salimbeni et al.
+2018, PAPERS.md): for conjugate models ONE unit-step natural-gradient update
+lands exactly on the optimal posterior, and on GP models it converges orders
+of magnitude faster than Adam in the variational coordinates.
+
+Implementation: each trainable :class:`~henbun_tpu.variationals.Variational`
+node's (q_mu, q_sqrt) pair is updated in natural-parameter space
+
+    theta1 = Sigma^-1 mu,     theta2 = -1/2 Sigma^-1
+    theta <- theta + gamma * dL/d(eta),   eta = (mu, Sigma + mu mu^T)
+
+where dL/d(eta) is obtained from the ordinary autodiff gradients via one
+VJP through the eta -> (mu, chol) reparameterization. Everything is jnp and
+runs inside the jitted training chunk. All remaining parameters (kernel
+hyperparameters, likelihood variances, NN weights) are delegated to a
+wrapped optax transformation.
+
+Usage::
+
+    opt.compile(hb.optimizers.natural_gradient(
+        model, gamma=0.1, rest=optax.adam(0.01)))
+
+Safety: a natural-gradient step can leave the PD cone (theta2 must stay
+negative-definite). Each node's update is guarded — if the new covariance
+fails its Cholesky, that node keeps its previous value for the step (the
+same philosophy as safe_cholesky's escalation).
+
+Choosing gamma (measured, tests/test_natgrad.py):
+  * deterministic/analytic ELBOs (closed-form expected loglik +
+    `analytic_kl=True`): gamma=1.0 converges in ONE step on conjugate models;
+  * MC-estimated ELBOs: gamma ~ 0.005-0.01 with `analytic_kl=True` on the
+    posterior. On the fullrank GPR workload (900 coupled covariance params)
+    natgrad at gamma=0.01 reaches a tail ELBO of -29 where Adam(0.02) is at
+    -110 after the same 400 steps; on diagonal q the 1-sample gradient noise
+    reduces the advantage to a tie. gamma=0.02 can overshoot — the stochastic
+    natural step jumps toward a NOISY estimate of the optimum, so its scale
+    must stay below the estimate's relative accuracy.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .variationals import Variational
+from .ops.linalg import fill_triangular, fill_triangular_inverse
+
+
+def _solve_tri_inv(L):
+    I = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return jax.scipy.linalg.solve_triangular(L, I, lower=True)
+
+
+def _natgrad_full(mu, L, gmu, gL, gamma):
+    """One natural-gradient step for a single fullrank Gaussian.
+
+    mu: [m], L: [m, m] lower factor (Sigma = L L^T); gmu/gL the ordinary
+    gradients of the objective w.r.t. mu and the (tril) factor. Returns
+    (mu_new, L_new, ok) where ok=False means the step left the PD cone.
+    """
+    m = mu.shape[-1]
+    I = jnp.eye(m, dtype=mu.dtype)
+    Sigma = L @ L.T
+
+    def eta_to_xi(eta1, eta2):
+        Sig = eta2 - jnp.outer(eta1, eta1)
+        return eta1, jnp.linalg.cholesky(Sig)
+
+    eta1, eta2 = mu, Sigma + jnp.outer(mu, mu)
+    _, vjp = jax.vjp(eta_to_xi, eta1, eta2)
+    deta1, deta2 = vjp((gmu, jnp.tril(gL)))
+    deta2 = 0.5 * (deta2 + deta2.T)  # eta2 is symmetric; use the sym gradient
+
+    Linv = _solve_tri_inv(L)
+    P = Linv.T @ Linv  # Sigma^-1
+    t1 = P @ mu + gamma * deta1
+    t2 = -0.5 * P + gamma * deta2
+
+    Pn = -2.0 * t2
+    Lp = jnp.linalg.cholesky(Pn)  # NaN iff theta2 left the cone
+    Lpinv = _solve_tri_inv(Lp)
+    Sigma_new = Lpinv.T @ Lpinv
+    mu_new = Sigma_new @ t1
+    L_new = jnp.linalg.cholesky(Sigma_new)
+    ok = jnp.all(jnp.isfinite(mu_new)) & jnp.all(jnp.isfinite(L_new))
+    return mu_new, L_new, ok
+
+
+def _natgrad_diag(mu, s, gmu, gs, gamma):
+    """Elementwise natural-gradient step for a diagonal Gaussian with
+    log-std parameterization s (Sigma = diag(exp(2 s)))."""
+    var = jnp.exp(2.0 * s)
+    deta1 = gmu - gs * mu / var
+    deta2 = gs / (2.0 * var)
+    t1 = mu / var + gamma * deta1
+    t2 = -0.5 / var + gamma * deta2
+    var_new = -0.5 / t2
+    mu_new = t1 * var_new
+    s_new = 0.5 * jnp.log(var_new)
+    ok = (t2 < 0) & jnp.isfinite(mu_new) & jnp.isfinite(s_new)
+    # elementwise guard (diagonal coordinates are independent)
+    return (
+        jnp.where(ok, mu_new, mu),
+        jnp.where(ok, s_new, s),
+        jnp.array(True),
+    )
+
+
+def _batched(fn, mu, q, gmu, gq, gamma, matrix):
+    """vmap a per-distribution step over the flattened leading axes."""
+    size = mu.shape[-1]
+    lead = mu.shape[:-1]
+    mu2 = mu.reshape((-1, size))
+    gmu2 = gmu.reshape((-1, size))
+    if matrix:
+        q2 = q.reshape((-1,) + q.shape[-2:])
+        gq2 = gq.reshape((-1,) + q.shape[-2:])
+    else:
+        q2 = q.reshape((-1, q.shape[-1]))
+        gq2 = gq.reshape((-1, q.shape[-1]))
+    mu_n, q_n, ok = jax.vmap(lambda a, b, c, d: fn(a, b, c, d, gamma))(
+        mu2, q2, gmu2, gq2
+    )
+    # per-distribution guard: a failed step keeps that distribution's params
+    keep = ok.reshape((-1,) + (1,) * (mu_n.ndim - 1))
+    mu_n = jnp.where(keep, mu_n, mu2)
+    keepq = ok.reshape((-1,) + (1,) * (q_n.ndim - 1))
+    q_n = jnp.where(keepq, q_n, q2)
+    return mu_n.reshape(mu.shape), q_n.reshape(q.shape)
+
+
+def _discover_pairs(model, params):
+    """(mu_path, sqrt_path, q_shape, size) for every trainable Variational
+    node whose q_mu and q_sqrt both appear in `params`."""
+    pairs = []
+
+    def walk(node):
+        if isinstance(node, Variational):
+            base = node.path_to(model)
+            mu_p, sq_p = base + ".q_mu", base + ".q_sqrt"
+            if mu_p in params and sq_p in params:
+                pairs.append((mu_p, sq_p, node.q_shape, node.size))
+        for child in getattr(node, "sorted_variables", []):
+            walk(child)
+
+    walk(model)
+    return pairs
+
+
+def natural_gradient(model, gamma=0.1, rest=None):
+    """An optax-compatible GradientTransformation: natural-gradient steps on
+    every trainable Variational (q_mu, q_sqrt) pair, `rest` (default
+    Adam(1e-2)) on everything else. Pass to `Optimizer.compile`.
+
+    Requires update(..., params) — the Optimizer driver supplies params (the
+    natural-parameter map is state-dependent, unlike plain gradient
+    transforms).
+    """
+    rest = rest if rest is not None else optax.adam(1e-2)
+    # pair metadata is static (strings) and must not ride in the optax state
+    # (the state is scan-carried through the jitted chunk); init() fills this
+    # closure cell at compile time, update() reads it at trace time.
+    meta = {"pairs": (), "pair_keys": frozenset()}
+
+    def split(tree, pair_keys):
+        ours = {k: v for k, v in tree.items() if k in pair_keys}
+        theirs = {k: v for k, v in tree.items() if k not in pair_keys}
+        return ours, theirs
+
+    def init(params):
+        pairs = _discover_pairs(model, params)
+        meta["pairs"] = tuple(pairs)
+        meta["pair_keys"] = frozenset(k for p in pairs for k in p[:2])
+        _, rest_params = split(params, meta["pair_keys"])
+        return {"rest": rest.init(rest_params)}
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError(
+                "natural_gradient needs update(..., params=...); the henbun "
+                "Optimizer supplies it."
+            )
+        g_ours, g_rest = split(grads, meta["pair_keys"])
+        p_ours, p_rest = split(params, meta["pair_keys"])
+        rest_updates, rest_state = rest.update(g_rest, state["rest"], p_rest)
+
+        updates = dict(rest_updates)
+        for mu_p, sq_p, q_shape, size in meta["pairs"]:
+            mu, q = params[mu_p], params[sq_p]
+            # the driver MINIMIZES -objective; natgrad ascends the ELBO, so
+            # flip the incoming (descent) gradients back to ascent
+            gmu, gq = -grads[mu_p], -grads[sq_p]
+            if q_shape == "diagonal":
+                mu_n, q_n = _batched(_natgrad_diag, mu, q, gmu, gq, gamma, False)
+            elif q_shape == "fullrank":
+                # the free q_sqrt is dense with a dead upper triangle; the
+                # factor is its tril, and the step returns a fresh tril
+                L = jnp.tril(q)
+                mu_n, q_n = _batched(_natgrad_full, mu, L, gmu, gq, gamma, True)
+            elif q_shape == "fullrank_packed":
+                L = fill_triangular(q, size)
+                gL = fill_triangular(gq, size)
+                mu_n, L_n = _batched(_natgrad_full, mu, L, gmu, gL, gamma, True)
+                q_n = fill_triangular_inverse(L_n)
+            else:  # pragma: no cover - unknown family, leave to `rest`
+                continue
+            updates[mu_p] = mu_n - mu
+            updates[sq_p] = q_n - q
+        return updates, {"rest": rest_state}
+
+    return optax.GradientTransformation(init, update)

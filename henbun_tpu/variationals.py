@@ -233,7 +233,14 @@ class Variational(Parameterized):
 class Normal(Variational):
     """Variational parameter with N(0,1) prior and identity transform; its
     _KL is the reference's reduced closed-form-ish single-sample estimate
-    (variationals.py:225-230)."""
+    (variationals.py:225-230).
+
+    analytic_kl=True replaces the estimator with the exact Gaussian KL
+    0.5 (|mu|^2 + tr Sigma - m - logdet Sigma) — valid because this family
+    pins the prior to N(0, I) with an identity transform. Zero-variance KL
+    gradients; required for stable natural-gradient training
+    (optimizers.natural_gradient) and a variance reduction for Adam too.
+    """
 
     def __init__(
         self,
@@ -244,6 +251,7 @@ class Normal(Variational):
         mean=0.0,
         stddev=1.0,
         collections=None,
+        analytic_kl=False,
     ):
         Variational.__init__(
             self,
@@ -257,8 +265,23 @@ class Normal(Variational):
             transform=transforms.Identity(),
             collections=collections,
         )
+        self.analytic_kl = bool(analytic_kl)
 
     def _KL(self):
+        if self.analytic_kl:
+            mu = self.q_mu
+            sq = self.q_sqrt
+            if self.q_shape == "diagonal":
+                tr = jnp.sum(jnp.exp(2.0 * sq))
+            elif self.q_shape == "fullrank_packed":
+                # every packed entry is a factor entry: tr LL^T = sum L_ij^2
+                tr = jnp.sum(jnp.square(sq))
+            else:
+                tr = jnp.sum(jnp.square(jnp.tril(sq)))
+            total = int(np.prod(mu.shape))
+            return 0.5 * (
+                jnp.sum(jnp.square(mu)) + tr - total - jnp.sum(self.logdet)
+            )
         s = self._state()
         return -0.5 * jnp.sum(
             self.logdet + jnp.square(s["u"]) - jnp.square(s["raw"])
@@ -281,6 +304,7 @@ class Gaussian(Normal):
         collections=None,
         scale_shape=None,
         scale_n_layers=None,
+        analytic_kl=False,
     ):
         if np.abs(mean) < stddev:
             scale_mean = stddev
@@ -302,6 +326,7 @@ class Gaussian(Normal):
             transform=transforms.Identity(),
             collections=collections,
         )
+        self.analytic_kl = bool(analytic_kl)
         scale_shape = scale_shape or [1 for _ in self._shape]
         scale_layer = scale_n_layers or [1 for _ in self.n_layers]
         self.scale = Variable(
@@ -332,6 +357,7 @@ class OffsetGaussian(Gaussian):
         collections=None,
         scale_shape=None,
         scale_n_layers=None,
+        analytic_kl=False,
     ):
         Gaussian.__init__(
             self,
@@ -344,6 +370,7 @@ class OffsetGaussian(Gaussian):
             collections=collections,
             scale_shape=scale_shape,
             scale_n_layers=scale_n_layers,
+            analytic_kl=analytic_kl,
         )
         offset_shape = scale_shape or [1 for _ in self._shape]
         offset_layer = scale_n_layers or [1 for _ in self.n_layers]

@@ -144,3 +144,7 @@ class TestSVGP:
         rmse = np.sqrt(np.mean((draws.mean(0) - np.sin(grid[:, 0])) ** 2))
         assert rmse < 0.2
         assert np.isfinite(np.concatenate(opt.history)).all()
+        # the predict_f API matches the hand-rolled conditional above
+        pred = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 50))[:, 0, :]
+        rmse_p = np.sqrt(np.mean((pred.mean(0) - np.sin(grid[:, 0])) ** 2))
+        assert rmse_p < 0.2

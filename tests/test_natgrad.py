@@ -1,0 +1,297 @@
+"""Natural-gradient optimizer tests.
+
+The defining property: for a conjugate (Gaussian) target the natural
+gradient of the EXACT ELBO with step 1 lands on the optimal posterior in a
+single update — tested per family against closed forms. End-to-end: the
+dual-speed optimizer (natgrad on q, Adam on hyperparameters) trains the GPR
+workload faster per step than Adam alone and moves the hypers too.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu import optimizers as hopt
+
+
+RNG = np.random.default_rng(0)
+
+
+def _spd(m, scale=1.0):
+    B = RNG.normal(size=(m, m)).astype(np.float32)
+    return (B @ B.T / m + np.eye(m, dtype=np.float32)) * scale
+
+
+class TestExactConjugateStep:
+    """ELBO(q) = E_q[-1/2 x^T A x + b^T x] + H(q): the optimum is
+    N(A^-1 b, A^-1); one gamma=1 natgrad step from anywhere must land there."""
+
+    def test_fullrank(self):
+        m = 5
+        A = jnp.asarray(_spd(m))
+        b = jnp.asarray(RNG.normal(size=(m,)).astype(np.float32))
+
+        def elbo(mu, L):
+            Sigma = L @ L.T
+            quad = -0.5 * (jnp.trace(A @ Sigma) + mu @ A @ mu) + b @ mu
+            ent = 0.5 * jnp.sum(jnp.log(jnp.diag(L) ** 2))
+            return quad + ent
+
+        mu0 = jnp.asarray(RNG.normal(size=(m,)).astype(np.float32))
+        L0 = jnp.asarray(np.linalg.cholesky(_spd(m, 0.5)))
+        gmu, gL = jax.grad(elbo, argnums=(0, 1))(mu0, L0)
+        mu1, L1, ok = hopt._natgrad_full(mu0, L0, gmu, gL, gamma=1.0)
+        assert bool(ok)
+        Sigma_opt = np.linalg.inv(np.asarray(A))
+        mu_opt = Sigma_opt @ np.asarray(b)
+        assert np.allclose(np.asarray(mu1), mu_opt, atol=1e-4)
+        assert np.allclose(np.asarray(L1 @ L1.T), Sigma_opt, atol=1e-4)
+
+    def test_diagonal(self):
+        m = 6
+        a = jnp.asarray(RNG.uniform(0.5, 3.0, size=(m,)).astype(np.float32))
+        b = jnp.asarray(RNG.normal(size=(m,)).astype(np.float32))
+
+        def elbo(mu, s):
+            var = jnp.exp(2 * s)
+            return jnp.sum(-0.5 * a * (var + mu**2) + b * mu + s)
+
+        mu0 = jnp.asarray(RNG.normal(size=(m,)).astype(np.float32))
+        s0 = jnp.asarray(RNG.normal(size=(m,)).astype(np.float32) * 0.3)
+        gmu, gs = jax.grad(elbo, argnums=(0, 1))(mu0, s0)
+        mu1, s1, _ = hopt._natgrad_diag(mu0, s0, gmu, gs, gamma=1.0)
+        assert np.allclose(np.asarray(mu1), np.asarray(b / a), atol=1e-5)
+        assert np.allclose(
+            np.asarray(jnp.exp(2 * s1)), np.asarray(1.0 / a), atol=1e-5
+        )
+
+    def test_fullrank_partial_step_stays_pd(self):
+        m = 4
+        A = jnp.asarray(_spd(m))
+        b = jnp.zeros((m,), jnp.float32)
+
+        def elbo(mu, L):
+            Sigma = L @ L.T
+            return (
+                -0.5 * (jnp.trace(A @ Sigma) + mu @ A @ mu)
+                + b @ mu
+                + 0.5 * jnp.sum(jnp.log(jnp.diag(L) ** 2))
+            )
+
+        mu, L = jnp.ones((m,)), jnp.eye(m)
+        for _ in range(20):
+            gmu, gL = jax.grad(elbo, argnums=(0, 1))(mu, L)
+            mu, L, ok = hopt._natgrad_full(mu, L, gmu, gL, gamma=0.4)
+            assert bool(ok)
+        assert np.allclose(
+            np.asarray(L @ L.T), np.linalg.inv(np.asarray(A)), atol=1e-3
+        )
+
+
+class AnalyticLinearVI(hb.model.Model):
+    """Linear-Gaussian VI with a FULLY analytic ELBO: expected log-likelihood
+    in closed form (E[log N(y | A x, var)] = log N(y | A mu, var)
+    - tr(A^T A Sigma) / (2 var)) and analytic KL. Deterministic objective —
+    the setting where natural gradients provably converge in one unit step."""
+
+    def setUp(self, A, y, var):
+        self.A = hb.Data(A)
+        self.y = hb.Data(y)
+        self.noise_var = float(var)
+        d = A.shape[1]
+        self.q = hb.variationals.Normal(
+            shape=[d], q_shape="fullrank", analytic_kl=True
+        )
+
+    @hb.AutoOptimize()
+    def ELBO(self):
+        from henbun_tpu import densities
+
+        q = self.__dict__["q"]  # the node, not a sample
+        mu = q.q_mu
+        L = jnp.tril(q.q_sqrt)
+        f = self.A @ mu
+        AL = self.A @ L
+        ell = jnp.sum(
+            densities.gaussian(self.y, f, jnp.asarray(self.noise_var))
+        ) - 0.5 * jnp.sum(jnp.square(AL)) / self.noise_var
+        return ell - self.KL()
+
+
+def _analytic_linear_problem(n=40, d=6, var=0.1):
+    A = RNG.normal(size=(n, d)).astype(np.float32)
+    w = RNG.normal(size=(d,)).astype(np.float32)
+    y = (A @ w + RNG.normal(size=(n,)).astype(np.float32) * np.sqrt(var)).astype(
+        np.float32
+    )
+    P = A.T @ A / var + np.eye(d)
+    Sigma_opt = np.linalg.inv(P)
+    mu_opt = Sigma_opt @ (A.T @ y / var)
+    return A, y, var, mu_opt, Sigma_opt
+
+
+def test_natgrad_one_step_convergence_on_analytic_elbo():
+    """Deterministic conjugate ELBO: gamma=1 natgrad converges in ~1 step
+    where Adam needs hundreds — the capability the optimizer exists for."""
+    A, y, var, mu_opt, Sigma_opt = _analytic_linear_problem()
+    hb.set_seed(0)
+    m = AnalyticLinearVI(seed=0, A=A, y=y, var=var)
+    opt = m.ELBO()
+    opt.compile(hopt.natural_gradient(m, gamma=1.0))
+    opt.optimize(maxiter=2)
+    mu = np.asarray(m.q.q_mu.value)
+    L = np.tril(np.asarray(m.q.q_sqrt.value))
+    assert np.allclose(mu, mu_opt, atol=1e-3)
+    assert np.allclose(L @ L.T, Sigma_opt, atol=1e-3)
+
+    # Adam from the same start is nowhere near after 100 steps
+    hb.set_seed(0)
+    m2 = AnalyticLinearVI(seed=0, A=A, y=y, var=var)
+    opt2 = m2.ELBO()
+    opt2.compile(optax.adam(0.05))
+    opt2.optimize(maxiter=100)
+    mu2 = np.asarray(m2.q.q_mu.value)
+    assert not np.allclose(mu2, mu_opt, atol=1e-3)
+
+
+@pytest.mark.parametrize("q_shape", ["diagonal", "fullrank", "fullrank_packed"])
+def test_gpr_natgrad_trains_stably(q_shape):
+    """Dual-speed training on the MC-estimated GPR ELBO at the recommended
+    gamma=0.01: stable, hyperparameters move on the Adam side, and the tail
+    ELBO is at least comparable to Adam's (for fullrank q — 900 coupled
+    covariance params — natgrad beats Adam by a wide margin; for diagonal q
+    the 1-sample gradient noise reduces it to a tie)."""
+    from henbun_tpu import models
+
+    hb.set_seed(0)
+    X, Y = models.make_sine_dataset(n=30)
+    m = models.GPR(seed=0, X=X, Y=Y, q_shape=q_shape)
+    m.q.analytic_kl = True
+    opt = m.ELBO_gaussian()
+    opt.compile(hopt.natural_gradient(m, gamma=0.01, rest=optax.adam(0.02)))
+    k0 = float(np.asarray(m.k_var.value)[0])
+    opt.optimize(maxiter=400)
+    objs_nat = np.concatenate(opt.history)
+    assert np.isfinite(objs_nat).all()
+    k1 = float(np.asarray(m.k_var.value)[0])
+    assert abs(k1 - k0) > 1e-4  # hypers trained by the Adam side
+
+    hb.set_seed(0)
+    X, Y = models.make_sine_dataset(n=30)
+    m2 = models.GPR(seed=0, X=X, Y=Y, q_shape=q_shape)
+    opt2 = m2.ELBO_gaussian()
+    opt2.compile(optax.adam(0.02))
+    opt2.optimize(maxiter=400)
+    objs_adam = np.concatenate(opt2.history)
+    # comparable: within a few nats of the Adam tail on this 30-point ELBO
+    assert np.mean(objs_nat[-100:]) > np.mean(objs_adam[-100:]) - 4.0
+
+
+def test_analytic_kl_matches_mc_mean():
+    """E[MC KL estimate] equals the closed form (within 4 standard errors)."""
+    hb.set_seed(0)
+    m = hb.model.Model(seed=0)
+    m.q = hb.variationals.Normal(shape=[5], q_shape="fullrank")
+    m.initialize()
+    mc = np.asarray(m.draws(lambda mm: mm.KL(), 2000))
+    m.q.analytic_kl = True
+    exact = float(m.run(lambda mm: mm.KL()))
+    assert exact >= 0.0
+    stderr = mc.std() / np.sqrt(mc.size)
+    assert np.abs(mc.mean() - exact) < 4.0 * stderr
+    # hand oracle of the closed form
+    mu = np.asarray(m.q.q_mu.free_value)
+    L = np.tril(np.asarray(m.q.q_sqrt.free_value))
+    hand = 0.5 * (
+        np.sum(mu**2)
+        + np.trace(L @ L.T)
+        - 5
+        - np.sum(np.log(np.diag(L) ** 2))
+    )
+    assert np.allclose(exact, hand, rtol=1e-4)
+
+
+def test_discover_pairs_targets_variational_nodes_only():
+    from henbun_tpu import models
+
+    hb.set_seed(0)
+    X, Y = models.make_sine_dataset(n=12)
+    m = models.GPR(seed=0, X=X, Y=Y)
+    m.initialize()
+    params = m.param_dict()
+    pairs = hopt._discover_pairs(m, params)
+    assert len(pairs) == 1
+    mu_p, sq_p, q_shape, size = pairs[0]
+    assert mu_p.endswith("q_mu") and sq_p.endswith("q_sqrt")
+    assert q_shape == "fullrank" and size == 12
+
+
+class TestAnalyticSVGP:
+    def _problem(self, n=800):
+        rng = np.random.default_rng(3)
+        X = np.sort(rng.uniform(0, 6, size=(n, 1)).astype(np.float32), axis=0)
+        Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+        return X, Y
+
+    def test_analytic_elbo_matches_mc_mean(self):
+        """E over u-draws of the MC ELBO equals the closed-form ELBO
+        (full-batch so the only randomness is the inducing sample)."""
+        from henbun_tpu import models
+
+        X, Y = self._problem(n=64)
+        hb.set_seed(0)
+        m = models.SVGPRegression(
+            seed=0, X=X, Y=Y, num_inducing=16, analytic_kl=True
+        )
+        m.initialize()
+        # full batch: gather all rows via explicit index
+        idx = np.arange(64)
+        mc = np.asarray(
+            m.draws(
+                lambda mm: models.SVGPRegression.ELBO.__wrapped__(mm),
+                1500,
+                minibatch_index=idx,
+            )
+        )
+        exact = float(
+            m.run(
+                lambda mm: models.SVGPRegression.ELBO_analytic.__wrapped__(mm),
+                minibatch_index=idx,
+            )
+        )
+        stderr = mc.std() / np.sqrt(mc.size)
+        assert np.abs(mc.mean() - exact) < 5.0 * stderr
+
+    def test_natgrad_analytic_svgp_converges_fast(self):
+        """The Salimbeni setup: analytic-expectation ELBO + analytic KL +
+        natural gradient on q(u). 60 steps of natgrad(0.5) must beat 60
+        steps of Adam by a wide margin."""
+        import optax
+        from henbun_tpu import models
+
+        X, Y = self._problem()
+
+        def make():
+            hb.set_seed(0)
+            return models.SVGPRegression(
+                seed=0, X=X, Y=Y, num_inducing=24, analytic_kl=True
+            )
+
+        m1 = make()
+        o1 = m1.ELBO_analytic()
+        o1.compile(
+            hopt.natural_gradient(m1, gamma=0.5, rest=optax.adam(0.02))
+        )
+        o1.optimize(maxiter=60, minibatch_size=256)
+        nat = np.concatenate(o1.history)
+
+        m2 = make()
+        o2 = m2.ELBO_analytic()
+        o2.compile(optax.adam(0.02))
+        o2.optimize(maxiter=60, minibatch_size=256)
+        adam = np.concatenate(o2.history)
+
+        assert np.isfinite(nat).all()
+        assert np.mean(nat[-20:]) > np.mean(adam[-20:]) + 50.0
