@@ -129,3 +129,21 @@ def test_sampling_reproducibility_and_mesh_equivalence():
         x = np.asarray(r.samples).reshape(-1, 3)
         assert np.allclose(x.mean(0), 0.0, atol=0.1)
         assert np.allclose(x.std(0), 1.0, atol=0.1)
+
+
+def test_sharded_natgrad_gpr():
+    """natural_gradient's update (string-keyed pair metadata closed over, not
+    in the optax state) must trace under the mesh-sharded training step."""
+    from henbun_tpu import optimizers as hopt
+
+    X, Y = models.make_sine_dataset(n=24)
+    m = models.GPR(seed=0, X=X, Y=Y, q_shape="fullrank")
+    m.q.analytic_kl = True
+    mesh = make_mesh(n_data=8, n_chain=1)
+    opt = ShardedOptimizer(m, models.GPR.ELBO_gaussian.__wrapped__, mesh=mesh)
+    opt.compile(hopt.natural_gradient(m, gamma=0.01, rest=optax.adam(0.02)))
+    e0 = float(opt.run())
+    opt.optimize(maxiter=300)
+    e1 = float(opt.run())
+    assert np.isfinite(np.concatenate(opt.history)).all()
+    assert e1 > e0
