@@ -35,6 +35,13 @@ class SVGPRegression(hb.model.Model):
         self.u = hb.variationals.Normal(
             shape=[1, num_inducing], q_shape=q_shape, analytic_kl=analytic_kl
         )
+        if q_shape == "fullrank":
+            # start q(u) at the whitened prior N(0, I): the default
+            # mean=stddev dense init gives a near-singular ones-matrix factor
+            # at m >= ~50 whose Sigma^-1 overflows float32 (it silently
+            # freezes natural-gradient training — every step fails the PD
+            # guard). Identity is also just the right prior-matched init.
+            self.u.q_sqrt = np.eye(num_inducing, dtype=np.float32)
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
 

@@ -83,7 +83,8 @@ def _natgrad_full(mu, L, gmu, gL, gamma):
     t2 = -0.5 * P + gamma * deta2
 
     Pn = -2.0 * t2
-    Lp = jnp.linalg.cholesky(Pn)  # NaN iff theta2 left the cone
+    eps = 1e-6 * jnp.trace(Pn) / m  # scale-aware jitter for f32 inverses
+    Lp = jnp.linalg.cholesky(Pn + eps * I)  # NaN iff theta2 left the cone
     Lpinv = _solve_tri_inv(Lp)
     Sigma_new = Lpinv.T @ Lpinv
     mu_new = Sigma_new @ t1
