@@ -29,14 +29,19 @@ class AmortizedRegression(hb.model.Model):
     encoder slab (assignment = feeding idiom, cf. reference param.py:384-394).
     """
 
-    def setUp(self, X, Y, d_z=4, hidden=64):
+    def setUp(self, X, Y, d_z=4, hidden=64, analytic_kl=True):
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
         d_x = X.shape[1]
-        # local latent: one per minibatch element, fed by the encoder
+        # local latent: one per minibatch element, fed by the encoder.
+        # analytic_kl: the local KL is exactly computable from the fed
+        # (mu, log sigma) slab — zero-variance vs the reference's 1-sample
+        # estimate, at the cost of one exp over the slab (free next to the
+        # decoder matmuls). Set False for the reference-parity estimator.
         self.z = hb.variationals.Normal(
-            shape=[d_z], collections=hb.graph_key.LOCAL
+            shape=[d_z], collections=hb.graph_key.LOCAL,
+            analytic_kl=analytic_kl,
         )
         # encoder emits the feed slab [N, feed_size] = [N, 2*d_z]
         # small init stddev: the encoder's raw output feeds log-sigma of the
