@@ -354,6 +354,46 @@ class Optimizer:
         if not self._compiled:
             self.compile()
 
+    # --------------------------------------------------------------- resume
+    def save_state(self, path):
+        """Checkpoint the FULL training state (trainable params, optimizer
+        slots, global step, RNG counter) for exact resume — beyond the
+        reference's variables-only Saver (param.py:562-603). Orbax format;
+        multi-host safe for sharded states."""
+        from .utils import checkpoint
+
+        self._require_compiled()
+        checkpoint.save_orbax(
+            path,
+            {
+                "trainable": dict(self._trainable),
+                "opt_state": self.opt_state,
+                "global_step": np.array(self.global_step, np.int64),
+                "key_count": np.array(self.model._key_count, np.int64),
+            },
+        )
+
+    def restore_state(self, path):
+        """Inverse of :meth:`save_state`: resuming a run after this produces
+        the exact step sequence the uninterrupted run would have (same
+        params, Adam slots, and per-chunk noise keys)."""
+        from .utils import checkpoint
+
+        self._require_compiled()
+        like = {
+            "trainable": dict(self._trainable),
+            "opt_state": self.opt_state,
+            "global_step": np.array(self.global_step, np.int64),
+            "key_count": np.array(self.model._key_count, np.int64),
+        }
+        st = checkpoint.restore_orbax(path, like)
+        self._trainable = dict(st["trainable"])
+        self.opt_state = st["opt_state"]
+        self.global_step = int(st["global_step"])
+        self.model._key_count = int(st["key_count"])
+        self.model.set_param_dict(dict(self._trainable))
+        return self
+
     def _refresh_params(self):
         """Pick up any staged assignments made since the last call
         (the reference re-runs initialize() before every run, model.py:93)."""

@@ -44,3 +44,54 @@ def test_npz_roundtrip_through_subtree_api(tmp_path):
     m.initialize()
     checkpoint.restore(m, p)
     assert np.allclose(m.p.value, val)
+
+
+class TestTrainingStateResume:
+    def test_exact_resume(self, tmp_path):
+        """save_state -> continue vs restore into a FRESH model/optimizer ->
+        continue: identical parameters (same Adam slots and noise keys)."""
+        import optax
+        from henbun_tpu import models
+
+        def fresh():
+            hb.set_seed(0)
+            X, Y = models.make_sine_dataset(n=20)
+            m = models.GPR(seed=0, X=X, Y=Y)
+            opt = m.ELBO_gaussian()
+            opt.compile(optax.adam(0.01))
+            return m, opt
+
+        path = str(tmp_path / "state")
+        m1, o1 = fresh()
+        o1.optimize(maxiter=150)
+        o1.save_state(path)
+        o1.optimize(maxiter=150)
+        final1 = {k: np.asarray(v) for k, v in m1.param_dict().items()}
+
+        m2, o2 = fresh()
+        o2.restore_state(path)
+        assert o2.global_step == 150
+        o2.optimize(maxiter=150)
+        final2 = {k: np.asarray(v) for k, v in m2.param_dict().items()}
+
+        assert final1.keys() == final2.keys()
+        for k in final1:
+            assert np.array_equal(final1[k], final2[k]), k
+
+    def test_natgrad_state_roundtrip(self, tmp_path):
+        """The natural-gradient transformation's state (nested optax state
+        for the `rest` side) survives the orbax roundtrip."""
+        import optax
+        from henbun_tpu import models, optimizers as hopt
+
+        hb.set_seed(0)
+        X, Y = models.make_sine_dataset(n=16)
+        m = models.GPR(seed=0, X=X, Y=Y, q_shape="diagonal")
+        opt = m.ELBO_gaussian()
+        opt.compile(hopt.natural_gradient(m, gamma=0.01, rest=optax.adam(0.02)))
+        opt.optimize(maxiter=50)
+        path = str(tmp_path / "ng_state")
+        opt.save_state(path)
+        opt.restore_state(path)
+        opt.optimize(maxiter=50)
+        assert np.isfinite(np.concatenate(opt.history)).all()

@@ -295,3 +295,28 @@ class TestAnalyticSVGP:
 
         assert np.isfinite(nat).all()
         assert np.mean(nat[-20:]) > np.mean(adam[-20:]) + 50.0
+
+
+def test_beta_posterior_under_natgrad():
+    """Beta posteriors are Gaussian in FREE space (Logistic transform), so
+    natgrad applies to their (q_mu, q_sqrt) too; alpha/beta hyperparameters
+    ride the Adam side. Smoke: stable and finite."""
+    class B(hb.model.Model):
+        def setUp(self):
+            self.p = hb.variationals.Beta(shape=[3])
+
+        @hb.AutoOptimize()
+        def obj(self):
+            from henbun_tpu import densities
+
+            y = jnp.asarray([0.2, 0.5, 0.8], jnp.float32)
+            return jnp.sum(densities.gaussian(y, self.p, jnp.asarray(0.05))) - self.KL()
+
+    hb.set_seed(0)
+    m = B(seed=0)
+    opt = m.obj()
+    opt.compile(hopt.natural_gradient(m, gamma=0.01, rest=optax.adam(0.02)))
+    opt.optimize(maxiter=300)
+    assert np.isfinite(np.concatenate(opt.history)).all()
+    p = np.asarray(m.run(lambda mm: mm.p))
+    assert np.all(p > 0) and np.all(p < 1)
