@@ -7,4 +7,4 @@ from .expert_gpr import ExpertGPR, make_expert_dataset
 from .linear import VariationalLinearModel, MAPLinearModel, make_linear_dataset
 from .amortized import AmortizedRegression, make_synthetic_regression
 from .bnn import BNN, VariationalBNN, make_bnn_dataset
-from .svgp import SVGPRegression
+from .svgp import SVGPRegression, SVGPClassification

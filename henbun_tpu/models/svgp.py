@@ -13,6 +13,7 @@ GPR family.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import henbun_tpu as hb
@@ -62,6 +63,18 @@ class SVGPRegression(hb.model.Model):
             jnp.asarray(x_new), self.u, q_shape
         ) * jnp.sqrt(self.k_var)
 
+    def predict_y(self, x_new, q_shape="diagonal"):
+        """Predictive samples of y at new inputs: f plus observation noise.
+        Use with Model.draws; the draw axis then covers both posterior and
+        noise variability."""
+        from henbun_tpu.core import context as _ctx
+
+        f = self.predict_f(x_new, q_shape)
+        eps = jax.random.normal(
+            _ctx.current().tagged_key("predict_y"), f.shape, dtype=f.dtype
+        )
+        return f + jnp.sqrt(self.var) * eps
+
     @hb.AutoOptimize()
     def ELBO(self):
         f = self.f()[0][:, None]  # [|B|, 1]
@@ -109,3 +122,46 @@ class SVGPRegression(hb.model.Model):
         ) - jnp.sum(fvar) / (2.0 * self.var[0])
         batch = fmean.shape[0]
         return (self.n_data / batch) * ell - self.KL()
+
+
+class SVGPClassification(hb.model.Model):
+    """Binary GP classification: p(y=1 | x) = sigmoid(f(x)), non-conjugate
+    Bernoulli likelihood handled by the reparameterized MC ELBO.
+
+    The reference ships `densities.bernoulli` but no model consumes it (and
+    its TF<1.0 `tf.select` makes it unrunnable there, densities.py:35-36 —
+    fixed here); this family puts it to work on the inducing-point GP.
+    Labels y are {0, 1} floats.
+    """
+
+    def setUp(self, X, Y, num_inducing=32, q_shape="fullrank"):
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(Y)
+        self.n_data = X.shape[0]
+        z = np.quantile(
+            X, np.linspace(0.0, 1.0, num_inducing), axis=0
+        ).astype(np.float32)
+        self.gp = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z)
+        self.u = hb.variationals.Normal(
+            shape=[1, num_inducing], q_shape=q_shape, analytic_kl=True
+        )
+        if q_shape == "fullrank":
+            self.u.q_sqrt = np.eye(num_inducing, dtype=np.float32)
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def logit_f(self, x, q_shape="diagonal"):
+        return self.gp.samples(x, self.u, q_shape) * jnp.sqrt(self.k_var)
+
+    def predict_p(self, x_new, q_shape="diagonal"):
+        """Samples of p(y=1 | x_new); average draws for the posterior
+        predictive probability."""
+        return jax.nn.sigmoid(self.logit_f(jnp.asarray(x_new), q_shape))
+
+    @hb.AutoOptimize()
+    def ELBO(self):
+        f = self.logit_f(self.x)[0][:, None]  # [|B|, 1]
+        p = jnp.clip(jax.nn.sigmoid(f), 1e-6, 1.0 - 1e-6)
+        batch = f.shape[0]
+        scale = self.n_data / batch
+        log_lik = jnp.sum(densities.bernoulli(p, self.y))
+        return scale * log_lik - self.KL()

@@ -148,3 +148,42 @@ class TestSVGP:
         pred = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 50))[:, 0, :]
         rmse_p = np.sqrt(np.mean((pred.mean(0) - np.sin(grid[:, 0])) ** 2))
         assert rmse_p < 0.2
+
+
+class TestSVGPClassification:
+    def test_classification_learns_boundary(self):
+        """1D two-region classification: p(y=1) = sigmoid of a smooth GP —
+        after training, predictions separate the regions and predict_y-style
+        probabilities are calibrated at the extremes."""
+        rng = np.random.default_rng(0)
+        X = np.sort(rng.uniform(-3, 3, size=(2000, 1)).astype(np.float32), axis=0)
+        p_true = 1.0 / (1.0 + np.exp(-4.0 * np.sin(X[:, 0])))
+        Y = (rng.uniform(size=2000) < p_true).astype(np.float32)[:, None]
+        m = models.SVGPClassification(seed=0, X=X, Y=Y, num_inducing=24)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.02))
+        opt.optimize(maxiter=2500, minibatch_size=256)
+        assert np.isfinite(np.concatenate(opt.history)).all()
+        grid = np.linspace(-3, 3, 120).reshape(-1, 1).astype(np.float32)
+        p = np.asarray(m.draws(lambda mm: mm.predict_p(grid), 60))[:, 0, :].mean(0)
+        ref = 1.0 / (1.0 + np.exp(-4.0 * np.sin(grid[:, 0])))
+        # classify by thresholding: match the true boundary sign structure
+        agree = np.mean((p > 0.5) == (ref > 0.5))
+        assert agree > 0.9
+        rmse = np.sqrt(np.mean((p - ref) ** 2))
+        assert rmse < 0.15
+
+    def test_predict_y_noise_inflation(self):
+        """predict_y draws have strictly more variance than predict_f draws
+        (observation noise added)."""
+        rng = np.random.default_rng(1)
+        X = np.sort(rng.uniform(0, 6, size=(400, 1)).astype(np.float32), axis=0)
+        Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+        m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=16)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.02))
+        opt.optimize(maxiter=800, minibatch_size=128)
+        grid = np.linspace(0, 6, 50).reshape(-1, 1).astype(np.float32)
+        f = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 200))[:, 0, :]
+        y = np.asarray(m.draws(lambda mm: mm.predict_y(grid), 200))[:, 0, :]
+        assert y.var(axis=0).mean() > f.var(axis=0).mean()
