@@ -88,6 +88,31 @@ class GPRMarginal(hb.model.Model):
         )
         return lml + log_prior
 
+    def predict_f(self, x_new):
+        """Exact GP posterior at new inputs, analytically:
+
+            mean = K*n (Knn + var I)^-1 y
+            cov  = K** - K*n (Knn + var I)^-1 Kn*
+
+        (all kernel blocks scaled by k_var). Returns (mean [n*, 1],
+        variance [n*, 1]) — no sampling; for hyperparameter-marginalized
+        prediction, call under `Model.run` once per MCMC hyper draw."""
+        from henbun_tpu.ops.linalg import safe_cholesky
+
+        Knn = self.k_var * self.kern.K(self.X)
+        n = Knn.shape[0]
+        L = safe_cholesky(Knn + self.var * jnp.eye(n, dtype=Knn.dtype), 1e-6)
+        Ksn = self.k_var * self.kern.K(jnp.asarray(x_new), self.X)  # [n*, n]
+        # A = L^-1 Kn*  -> mean = A^T (L^-1 y), cov_diag = k** - sum A^2
+        import jax
+
+        A = jax.scipy.linalg.solve_triangular(L, Ksn.T, lower=True)  # [n, n*]
+        alpha = jax.scipy.linalg.solve_triangular(L, self.Y, lower=True)
+        mean = A.T @ alpha  # [n*, 1]
+        kss = self.k_var * self.kern.Kdiag(jnp.asarray(x_new))  # [n*]
+        var = jnp.maximum(kss - jnp.sum(jnp.square(A), axis=0), 0.0)
+        return mean, var[:, None]
+
 
 def make_sine_dataset(n=40, noise=0.3, seed=0):
     """The notebook's synthetic dataset: y = sin(x) + eps on [0, 6]."""

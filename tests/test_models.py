@@ -187,3 +187,32 @@ class TestSVGPClassification:
         f = np.asarray(m.draws(lambda mm: mm.predict_f(grid), 200))[:, 0, :]
         y = np.asarray(m.draws(lambda mm: mm.predict_y(grid), 200))[:, 0, :]
         assert y.var(axis=0).mean() > f.var(axis=0).mean()
+
+
+class TestGPRMarginalPredict:
+    def test_analytic_posterior_matches_numpy_oracle(self):
+        X, Y = models.make_sine_dataset(n=25)
+        m = models.GPRMarginal(seed=0, X=X, Y=Y)
+        m.kern.lengthscales = np.asarray([0.8], np.float32)
+        m.k_var = np.asarray([1.2], np.float32)
+        m.var = np.asarray([0.05], np.float32)
+        m.initialize()
+        grid = np.linspace(0, 6, 30).reshape(-1, 1).astype(np.float32)
+        mean, var = m.run(lambda mm: mm.predict_f(grid))
+        mean, var = np.asarray(mean), np.asarray(var)
+
+        # numpy oracle
+        def k(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) / 0.8) ** 2
+            return 1.2 * np.exp(-0.5 * d2.sum(-1))
+
+        jit = hb.settings.numerics.jitter_level * 1e-2  # predict uses 1e-6
+        S = k(X, X) + (0.05 + 1e-6) * np.eye(25)
+        Si = np.linalg.inv(S)
+        Ks = k(grid, X)
+        mean_ref = Ks @ Si @ Y
+        var_ref = 1.2 - np.sum((Ks @ Si) * Ks, axis=1)
+        assert np.allclose(mean[:, 0], mean_ref[:, 0], atol=2e-3)
+        assert np.allclose(var[:, 0], var_ref, atol=2e-3)
+        # posterior mean tracks the generating sin(x)
+        assert np.sqrt(np.mean((mean[:, 0] - np.sin(grid[:, 0])) ** 2)) < 0.3
