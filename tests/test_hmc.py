@@ -268,3 +268,40 @@ class TestCalibration:
         )
         ess = hmc.effective_sample_size(np.asarray(res.samples))[0]
         _quantile_calibration(res.samples, ess)
+
+
+class TestFullyBayesianGP:
+    def test_hyper_marginalized_prediction(self):
+        """Full Bayes composition: ChEES over the exact GP marginal's
+        hyperparameters, then predict_f averaged over hyperparameter draws —
+        the posterior-predictive mean tracks sin(x) and the predictive
+        variance is wider than any single-hyper prediction's."""
+        from henbun_tpu.inference import sample_posterior
+
+        X, Y = models.make_sine_dataset(n=35, noise=0.3)
+        m = models.GPRMarginal(seed=0, X=X, Y=Y)
+        res, post = sample_posterior(
+            m, "log_marginal", num_chains=4, num_samples=150, num_warmup=200,
+            sampler="chees",
+        )
+        grid = np.linspace(0, 6, 40).reshape(-1, 1).astype(np.float32)
+        # average the analytic conditional over 20 thinned hyper draws
+        draws = {k: v.reshape(-1, v.shape[-1]) for k, v in post.items()}
+        idx = np.linspace(0, len(draws["var"]) - 1, 20).astype(int)
+        means, varis = [], []
+        for i in idx:
+            m.kern.lengthscales = draws["kern.lengthscales"][i].astype(np.float32)
+            m.k_var = draws["k_var"][i].astype(np.float32)
+            m.var = draws["var"][i].astype(np.float32)
+            m.initialize()
+            mean, var = m.run(lambda mm: mm.predict_f(grid))
+            means.append(np.asarray(mean)[:, 0])
+            varis.append(np.asarray(var)[:, 0])
+        means, varis = np.stack(means), np.stack(varis)
+        pred_mean = means.mean(0)
+        # law of total variance: within-draw + between-draw
+        pred_var = varis.mean(0) + means.var(0)
+        rmse = np.sqrt(np.mean((pred_mean - np.sin(grid[:, 0])) ** 2))
+        assert rmse < 0.3
+        assert np.all(pred_var >= varis.mean(0) - 1e-9)
+        assert np.isfinite(pred_var).all()
