@@ -106,8 +106,6 @@ class Model(Parameterized):
         cache_key = getattr(fn, "__func__", fn)
         jitted = cache.get(cache_key)
         if jitted is None:
-            if len(cache) >= 32:  # fresh lambdas never hit; bound the growth
-                cache.clear()
 
             def batched(params, data, keys):
                 def one(k):
@@ -117,7 +115,13 @@ class Model(Parameterized):
                 return jax.vmap(one)(keys)
 
             jitted = jax.jit(batched)
-            cache[cache_key] = jitted
+            # a fresh lambda can never be hit again — don't let plotting
+            # loops fill the cache with dead entries (each pins its program
+            # and closed-over arrays)
+            if getattr(cache_key, "__name__", "") != "<lambda>":
+                if len(cache) >= 32:  # evict oldest, keep the hot entries
+                    cache.pop(next(iter(cache)))
+                cache[cache_key] = jitted
 
         keys = jax.random.split(key, num)
         return jitted(params, data, keys)
@@ -363,6 +367,7 @@ class Optimizer:
         from .utils import checkpoint
 
         self._require_compiled()
+        self._refresh_params()  # staged assignments belong in the checkpoint
         checkpoint.save_orbax(
             path,
             {
@@ -380,6 +385,10 @@ class Optimizer:
         from .utils import checkpoint
 
         self._require_compiled()
+        # consume any pending staged assignments NOW, onto the pre-restore
+        # values they targeted — otherwise the next _refresh_params would
+        # apply them over the restored parameters
+        self._refresh_params()
         like = {
             "trainable": dict(self._trainable),
             "opt_state": self.opt_state,

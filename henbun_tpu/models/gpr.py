@@ -19,12 +19,12 @@ class GPR(hb.model.Model):
     f = chol(K(X)) @ q * sqrt(k_var),  y ~ N(f, var) or St(f, var, 3).
     """
 
-    def setUp(self, X, Y, q_shape="fullrank"):
+    def setUp(self, X, Y, q_shape="fullrank", kern=None):
         self.X = hb.Data(X)
         self.Y = hb.Data(Y)
         # variational posterior over the whitened latent, one per datapoint
         self.q = hb.variationals.Gaussian(shape=list(X.shape), q_shape=q_shape)
-        self.kern = hb.gp.kernels.UnitRBF()
+        self.kern = kern if kern is not None else hb.gp.kernels.UnitRBF()
         # kernel and likelihood variances, positive-constrained
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
@@ -101,7 +101,10 @@ class GPRMarginal(hb.model.Model):
 
         Knn = self.k_var * self.kern.K(self.X)
         n = Knn.shape[0]
-        L = safe_cholesky(Knn + self.var * jnp.eye(n, dtype=Knn.dtype), 1e-6)
+        # default (1e-4-scale) jitter: gradients through a float32 Cholesky
+        # NaN at ~1e-5 jitter on ill-conditioned grams even when the forward
+        # pass succeeds, and callers may differentiate predictions
+        L = safe_cholesky(Knn + self.var * jnp.eye(n, dtype=Knn.dtype))
         Ksn = self.k_var * self.kern.K(jnp.asarray(x_new), self.X)  # [n*, n]
         # A = L^-1 Kn*  -> mean = A^T (L^-1 y), cov_diag = k** - sum A^2
         import jax

@@ -17,8 +17,9 @@ entirely on-chip with static control flow:
 The loop bounds are STATIC (from the logical size rounded to 8), so an n=40
 gram runs 5 panels, not 16. The returned factor is lower (U^T).
 
-Opt-in (settings [tpu] use_pallas); `ops.linalg.safe_cholesky` stays the
-default. Measured numbers: docs/PERF.md.
+Experimental: reachable by DIRECT IMPORT only — no settings flag dispatches
+to it (`ops.linalg.safe_cholesky` stays the library-wide path; XLA's own
+small-matrix Cholesky measured faster, docs/PERF.md).
 """
 from __future__ import annotations
 

@@ -205,6 +205,9 @@ def natural_gradient(model, gamma=0.1, rest=None):
                 L = jnp.tril(q)
                 mu_n, q_n = _batched(_natgrad_full, mu, L, gmu, gq, gamma, True)
             elif q_shape == "fullrank_packed":
+                # the repack (fill_triangular_inverse) is a gather per step;
+                # it is dominated by the O(size^3) solves of the natgrad
+                # update itself at any size where packing matters
                 L = fill_triangular(q, size)
                 gL = fill_triangular(gq, size)
                 mu_n, L_n = _batched(_natgrad_full, mu, L, gmu, gL, gamma, True)

@@ -95,3 +95,32 @@ class TestTrainingStateResume:
         opt.restore_state(path)
         opt.optimize(maxiter=50)
         assert np.isfinite(np.concatenate(opt.history)).all()
+
+    def test_staged_assignment_included_in_saved_state(self, tmp_path):
+        """An assignment staged after the last run must reach the checkpoint
+        (save_state refreshes pending assigns), and a pending assignment at
+        restore time must NOT clobber the restored values afterwards."""
+        import optax
+        from henbun_tpu import models
+
+        hb.set_seed(0)
+        X, Y = models.make_sine_dataset(n=12)
+        m = models.GPR(seed=0, X=X, Y=Y)
+        opt = m.ELBO_gaussian()
+        opt.compile(optax.adam(0.01))
+        m.var = np.asarray([0.5], np.float32)  # staged, no run() since
+        path = str(tmp_path / "staged")
+        opt.save_state(path)
+        saved = float(np.asarray(m.var.value)[0])
+        assert abs(saved - 0.5) < 1e-5
+
+        # fresh model: stage a DIFFERENT assignment, then restore over it
+        hb.set_seed(0)
+        X, Y = models.make_sine_dataset(n=12)
+        m2 = models.GPR(seed=0, X=X, Y=Y)
+        o2 = m2.ELBO_gaussian()
+        o2.compile(optax.adam(0.01))
+        m2.var = np.asarray([9.0], np.float32)  # pending at restore time
+        o2.restore_state(path)
+        o2.run()  # triggers _refresh_params; must not re-apply the 9.0
+        assert abs(float(np.asarray(m2.var.value)[0]) - 0.5) < 1e-5

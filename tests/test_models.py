@@ -206,8 +206,8 @@ class TestGPRMarginalPredict:
             d2 = ((a[:, None, :] - b[None, :, :]) / 0.8) ** 2
             return 1.2 * np.exp(-0.5 * d2.sum(-1))
 
-        jit = hb.settings.numerics.jitter_level * 1e-2  # predict uses 1e-6
-        S = k(X, X) + (0.05 + 1e-6) * np.eye(25)
+        jit = hb.settings.numerics.jitter_level
+        S = k(X, X) + (0.05 + jit) * np.eye(25)
         Si = np.linalg.inv(S)
         Ks = k(grid, X)
         mean_ref = Ks @ Si @ Y
