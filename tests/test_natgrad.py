@@ -320,3 +320,33 @@ def test_beta_posterior_under_natgrad():
     assert np.isfinite(np.concatenate(opt.history)).all()
     p = np.asarray(m.run(lambda mm: mm.p))
     assert np.all(p > 0) and np.all(p < 1)
+
+
+def test_analytic_svgp_elbo_diagonal_branch():
+    """The diagonal-q branch of ELBO_analytic agrees with the MC mean too."""
+    from henbun_tpu import models
+
+    rng = np.random.default_rng(5)
+    X = np.sort(rng.uniform(0, 6, size=(64, 1)).astype(np.float32), axis=0)
+    Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+    hb.set_seed(0)
+    m = models.SVGPRegression(
+        seed=0, X=X, Y=Y, num_inducing=12, q_shape="diagonal", analytic_kl=True
+    )
+    m.initialize()
+    idx = np.arange(64)
+    mc = np.asarray(
+        m.draws(
+            lambda mm: models.SVGPRegression.ELBO.__wrapped__(mm),
+            1500,
+            minibatch_index=idx,
+        )
+    )
+    exact = float(
+        m.run(
+            lambda mm: models.SVGPRegression.ELBO_analytic.__wrapped__(mm),
+            minibatch_index=idx,
+        )
+    )
+    stderr = mc.std() / np.sqrt(mc.size)
+    assert np.abs(mc.mean() - exact) < 5.0 * stderr
