@@ -73,6 +73,35 @@ class GPR(hb.model.Model):
         the exact log marginal likelihood — which natural gradients reach in
         a few hundred steps where the reference's MC loop runs 20,000
         (GaussianProcess.ipynb cells 9-14)."""
+        fmean, fvar = self._f_marginals()
+        ell = jnp.sum(densities.gaussian(self.Y, fmean, self.var)) - jnp.sum(
+            fvar
+        ) / (2.0 * self.var[0])
+        return ell - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_student_quadrature(self):
+        """Deterministic robust-regression ELBO: the Student-t likelihood has
+        no closed-form Gaussian expectation, so integrate each marginal f_i
+        with Gauss-Hermite quadrature (ops.quadrature) — the zero-variance
+        counterpart of `ELBO_student`'s single-sample estimator."""
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        fmean, fvar = self._f_marginals()
+        y = self.Y[:, 0]
+
+        def log_lik(f):  # f: [n, deg]
+            return densities.student_t(y[:, None], f, self.var, 3.0)
+
+        ell = jnp.sum(gauss_hermite_expectation(log_lik, fmean[:, 0], fvar))
+        return ell - self.KL()
+
+    def _f_marginals(self):
+        """Per-point Gaussian marginals of f under q: (mean [n, 1], var [n]),
+
+            E[f] = sqrt(k_var) scale Lk mu
+            V[f_i] = k_var scale^2 (Lk S Lk^T)_ii,  Lk = chol(K(X)).
+        """
         from henbun_tpu.ops.linalg import fill_triangular
 
         q = self.__dict__["q"]  # the Variational node, not a sample
@@ -93,10 +122,7 @@ class GPR(hb.model.Model):
             )
             A = matmul_hp(Lk, Lq)  # [n, n]
             fvar = jnp.square(s) * jnp.sum(jnp.square(A), axis=1)
-        ell = jnp.sum(densities.gaussian(self.Y, fmean, self.var)) - jnp.sum(
-            fvar
-        ) / (2.0 * self.var[0])
-        return ell - self.KL()
+        return fmean, fvar
 
 
 class GPRMarginal(hb.model.Model):

@@ -20,6 +20,33 @@ import henbun_tpu as hb
 from henbun_tpu import densities
 
 
+def _whitened_marginals(gp, q, x, k_var):
+    """Per-point Gaussian marginals of f at x under the whitened inducing
+    posterior q(u) = N(mu, S): returns (f_mean [B], f_var [B]).
+
+        E[f_i] = (B^T mu)_i sqrt(k_var),  B = Lm^-1 K(z, x)
+        V[f_i] = k_var [ (B^T S B)_ii + (Knn - Kmn^T Kmm^-1 Kmn)_ii ]
+    """
+    from henbun_tpu.ops.linalg import fill_triangular, matmul_hp
+
+    mu = q.q_mu
+    LnT = gp._effective_LT(x)  # [m, B]
+    mean = matmul_hp(mu[None, :], LnT)[0]
+    if q.q_shape == "diagonal":
+        Svar = jnp.exp(2.0 * q.q_sqrt)
+        qvar = jnp.sum(jnp.square(LnT) * Svar[:, None], axis=0)
+    else:
+        Lq = (
+            fill_triangular(q.q_sqrt, q.size)
+            if q.q_shape == "fullrank_packed"
+            else jnp.tril(q.q_sqrt)
+        )
+        T = matmul_hp(jnp.swapaxes(Lq, -1, -2), LnT)
+        qvar = jnp.sum(jnp.square(T), axis=0)
+    corr = gp._additional_cov(x, LnT, "diagonal")
+    return mean * jnp.sqrt(k_var), (qvar + corr) * k_var
+
+
 class SVGPRegression(hb.model.Model):
     def setUp(self, X, Y, num_inducing=64, q_shape="fullrank",
               analytic_kl=False):
@@ -97,26 +124,9 @@ class SVGPRegression(hb.model.Model):
         above is the reference-style single-sample estimator). Combine with
         `analytic_kl=True` on the inducing posterior for a fully
         deterministic objective given the minibatch."""
-        from henbun_tpu.ops.linalg import fill_triangular, matmul_hp
-
-        q = self.__dict__["u"]  # the Variational node, not a sample
-        mu = q.q_mu  # [m] free-space means of the whitened inducing values
-        LnT = self.gp._effective_LT(self.x)  # [m, |B|]
-        mean = matmul_hp(mu[None, :], LnT)[0]  # [|B|]
-        if q.q_shape == "diagonal":
-            Svar = jnp.exp(2.0 * q.q_sqrt)  # [m]
-            qvar = jnp.sum(jnp.square(LnT) * Svar[:, None], axis=0)
-        else:
-            Lq = (
-                fill_triangular(q.q_sqrt, q.size)
-                if q.q_shape == "fullrank_packed"
-                else jnp.tril(q.q_sqrt)
-            )
-            T = matmul_hp(jnp.swapaxes(Lq, -1, -2), LnT)  # [m, |B|]
-            qvar = jnp.sum(jnp.square(T), axis=0)
-        corr = self.gp._additional_cov(self.x, LnT, "diagonal")  # [|B|]
-        fmean = mean * jnp.sqrt(self.k_var)
-        fvar = (qvar + corr) * self.k_var
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], self.x, self.k_var
+        )
         ell = jnp.sum(
             densities.gaussian(self.y, fmean[:, None], self.var)
         ) - jnp.sum(fvar) / (2.0 * self.var[0])
@@ -165,3 +175,27 @@ class SVGPClassification(hb.model.Model):
         scale = self.n_data / batch
         log_lik = jnp.sum(densities.bernoulli(p, self.y))
         return scale * log_lik - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_quadrature(self):
+        """Deterministic (given the minibatch) classification ELBO: the
+        Bernoulli likelihood has no closed-form expectation, so integrate
+        each Gaussian marginal f_i with 20-point Gauss-Hermite quadrature
+        (ops.quadrature). Zero-variance expected log-likelihood — the
+        natural-gradient-compatible counterpart of the MC `ELBO` above.
+
+        log p(y|f) = y f - softplus(f) (numerically stable log-sigmoid form).
+        """
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], self.x, self.k_var
+        )
+        y = self.y[:, 0]
+
+        def log_lik(f):  # f: [B, deg]
+            return y[:, None] * f - jax.nn.softplus(f)
+
+        ell = jnp.sum(gauss_hermite_expectation(log_lik, fmean, fvar))
+        batch = fmean.shape[0]
+        return (self.n_data / batch) * ell - self.KL()

@@ -10,4 +10,6 @@ from .linalg import (
     fill_triangular_diag_indices,
     matmul_hp,
 )
+from . import quadrature
+from .quadrature import gauss_hermite_expectation
 from . import pallas_mlp, pallas_sample, pallas_chol

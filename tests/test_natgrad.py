@@ -391,3 +391,84 @@ def test_gpr_analytic_elbo_closes_to_exact_log_marginal():
         m.draws(lambda mm: mm.f_sample(), 200)
     ).mean(0)
     assert np.sqrt(np.mean((fmean[:, 0] - np.sin(X[:, 0])) ** 2)) < 0.3
+
+
+class TestQuadratureObjectives:
+    def test_gauss_hermite_matches_closed_forms(self):
+        """GH expectation vs closed forms: E[f]=mean, E[f^2]=mean^2+var, and
+        the Gaussian log-lik expectation vs its analytic value."""
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+        from henbun_tpu import densities
+
+        mean = jnp.asarray([0.3, -1.2, 2.0], jnp.float32)
+        var = jnp.asarray([0.5, 2.0, 0.01], jnp.float32)
+        e1 = gauss_hermite_expectation(lambda f: f, mean, var)
+        assert np.allclose(np.asarray(e1), np.asarray(mean), atol=1e-5)
+        e2 = gauss_hermite_expectation(lambda f: f * f, mean, var)
+        assert np.allclose(np.asarray(e2), np.asarray(mean**2 + var), atol=1e-4)
+        y = jnp.asarray([0.0, 1.0, -2.0], jnp.float32)
+        lv = jnp.float32(0.2)
+        eg = gauss_hermite_expectation(
+            lambda f: densities.gaussian(y[:, None], f, lv), mean, var
+        )
+        exact = np.asarray(
+            densities.gaussian(y, mean, lv)
+        ) - np.asarray(var) / (2 * 0.2)
+        assert np.allclose(np.asarray(eg), exact, atol=1e-4)
+
+    def test_student_quadrature_matches_mc_mean(self):
+        from henbun_tpu import models
+
+        hb.set_seed(0)
+        X, Y = models.make_sine_dataset(n=20)
+        Y[::5] += 2.0  # outliers
+        m = models.GPR(seed=0, X=X, Y=Y, analytic_kl=True)
+        m.initialize()
+        mc = np.asarray(
+            m.draws(lambda mm: models.GPR.ELBO_student.__wrapped__(mm), 2000)
+        )
+        # the MC estimator uses the stochastic KL too; isolate the likelihood
+        # by comparing full objectives with analytic KL on both sides
+        exact = float(
+            m.run(lambda mm: models.GPR.ELBO_student_quadrature.__wrapped__(mm))
+        )
+        stderr = mc.std() / np.sqrt(mc.size)
+        assert np.abs(mc.mean() - exact) < 5.0 * stderr
+
+    def test_robust_gpr_trains_deterministically(self):
+        """Quadrature Student-t ELBO + natgrad: outlier-robust fit, and the
+        objective is deterministic (two evaluations agree exactly)."""
+        from henbun_tpu import models
+
+        hb.set_seed(0)
+        X, Y = models.make_sine_dataset(n=30)
+        Y[::6] += 3.0
+        m = models.GPR(seed=0, X=X, Y=Y, analytic_kl=True)
+        opt = m.ELBO_student_quadrature()
+        opt.compile(hopt.natural_gradient(m, gamma=0.2, rest=optax.adam(0.02)))
+        opt.optimize(maxiter=800)
+        v1 = float(opt.run())
+        v2 = float(opt.run())
+        assert v1 == v2  # deterministic objective
+        fmean = np.asarray(m.draws(lambda mm: mm.f_sample(), 200)).mean(0)
+        mask = np.ones(30, bool)
+        mask[::6] = False  # judge the fit away from the outliers
+        rmse = np.sqrt(np.mean((fmean[mask, 0] - np.sin(X[mask, 0])) ** 2))
+        assert rmse < 0.35
+
+    def test_classification_quadrature_trains(self):
+        from henbun_tpu import models
+
+        rng = np.random.default_rng(0)
+        X = np.sort(rng.uniform(-3, 3, size=(1500, 1)).astype(np.float32), axis=0)
+        p_true = 1.0 / (1.0 + np.exp(-4.0 * np.sin(X[:, 0])))
+        Y = (rng.uniform(size=1500) < p_true).astype(np.float32)[:, None]
+        hb.set_seed(0)
+        m = models.SVGPClassification(seed=0, X=X, Y=Y, num_inducing=24)
+        opt = m.ELBO_quadrature()
+        opt.compile(hopt.natural_gradient(m, gamma=0.1, rest=optax.adam(0.02)))
+        opt.optimize(maxiter=1200, minibatch_size=256)
+        grid = np.linspace(-3, 3, 100).reshape(-1, 1).astype(np.float32)
+        p = np.asarray(m.draws(lambda mm: mm.predict_p(grid), 60))[:, 0, :].mean(0)
+        ref = 1.0 / (1.0 + np.exp(-4.0 * np.sin(grid[:, 0])))
+        assert np.mean((p > 0.5) == (ref > 0.5)) > 0.9
