@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 import henbun_tpu as hb
 from henbun_tpu import models
-from henbun_tpu.inference import make_log_prob, hmc, nuts, chees
+from henbun_tpu.inference import make_log_prob, hmc, nuts, chees, diagnostics
 
 
 def main():
@@ -63,7 +63,10 @@ def main():
         )
         jax.block_until_ready(res.samples)
         dt = time.perf_counter() - t0
-        ess = hmc.effective_sample_size(np.asarray(res.samples))
+        ess = diagnostics.effective_sample_size(np.asarray(res.samples))
+        summary = diagnostics.summarize(
+            np.asarray(res.samples), accept_prob=np.asarray(res.accept_prob)
+        )
         print(
             json.dumps(
                 {
@@ -71,7 +74,10 @@ def main():
                     "value": round(float(ess.min() / dt), 1),
                     "unit": "ess/s/chip (min over dims, %d chains)" % args.chains,
                     "median_ess_per_s": round(float(np.median(ess) / dt), 1),
-                    "accept": round(float(np.asarray(res.accept_prob).mean()), 3),
+                    "ess_bulk_min_per_s": round(summary["ess_bulk_min"] / dt, 1),
+                    "rhat_max": round(summary["rhat_max"], 4),
+                    "divergences": summary["divergences"],
+                    "accept": round(summary["accept_mean"], 3),
                     "wall_s": round(dt, 2),
                     "dim": flp.dim,
                 }

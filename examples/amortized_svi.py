@@ -21,13 +21,13 @@ import henbun_tpu as hb
 from henbun_tpu import models
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--minibatch", type=int, default=1024)
     ap.add_argument("--sharded", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     hb.set_seed(0)
     X, Y = models.make_synthetic_regression(n=args.n, d_x=8)

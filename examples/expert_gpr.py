@@ -3,8 +3,9 @@ workload: short- and long-lengthscale GPs gated by a third sigmoid GP,
 initialized by a single-GP fit (with a temporarily raised jitter, as the
 notebook's cells 11-14 demonstrate for the settings system).
 
-Run: python examples/expert_gpr.py
+Run: python examples/expert_gpr.py [--init-iters 3000] [--rounds 10] [--iters 1000]
 """
+import argparse
 import os
 import sys
 
@@ -19,9 +20,16 @@ import henbun_tpu as hb
 from henbun_tpu import models
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--init-iters", type=int, default=3000)
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=150)
+    args = ap.parse_args(argv)
+
     hb.set_seed(0)
-    X, Y = models.make_expert_dataset(n=150)
+    X, Y = models.make_expert_dataset(n=args.n)
     m = models.ExpertGPR(seed=0, X=X, Y=Y)
 
     # initial single-GP estimate under a scoped settings override
@@ -30,20 +38,21 @@ def main():
     with hb.settings.temp_settings(cfg):
         init = m.ELBO_single()
         init.compile(optax.adam(0.01))
-        init.optimize(maxiter=3000)
+        init.optimize(maxiter=args.init_iters)
     print("single-GP ELBO:", float(init.run()))
 
     main_opt = m.ELBO()
     main_opt.compile(optax.adam(0.001))
     # the notebook runs 10 x 1000 iterations with live plotting;
     # here one metrics callback replaces the plot
-    for _ in range(10):
-        main_opt.optimize(maxiter=1000)
+    for _ in range(args.rounds):
+        main_opt.optimize(maxiter=args.iters)
         print("ELBO:", float(main_opt.run()))
 
     draws = np.stack([np.asarray(m.run(lambda mm: mm.f_mixture())) for _ in range(30)])
     rmse = np.sqrt(np.mean((draws.mean(0) - Y) ** 2))
     print("fit RMSE:", rmse)
+    return rmse
 
 
 if __name__ == "__main__":

@@ -22,10 +22,10 @@ import henbun_tpu as hb
 from henbun_tpu import models
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20000)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     hb.set_seed(0)
     X, Y = models.make_sine_dataset(n=40, noise=0.3)

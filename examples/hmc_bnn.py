@@ -22,13 +22,13 @@ from henbun_tpu.inference import make_log_prob, hmc, nuts, chees
 from henbun_tpu.parallel import make_mesh
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sampler", choices=["hmc", "nuts", "chees"], default="chees")
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--samples", type=int, default=500)
     ap.add_argument("--warmup", type=int, default=500)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     hb.set_seed(0)
     X, Y = models.make_bnn_dataset(n=128)

@@ -1,8 +1,9 @@
 """Linear models, MAP and variational — the reference's Henbun_structure /
 Henbun_structure2 tutorial workloads.
 
-Run: python examples/linear_models.py
+Run: python examples/linear_models.py [--map-iters 3000] [--vi-iters 50000]
 """
+import argparse
 import os
 import sys
 
@@ -17,7 +18,12 @@ import henbun_tpu as hb
 from henbun_tpu import models
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map-iters", type=int, default=3000)
+    ap.add_argument("--vi-iters", type=int, default=50000)
+    args = ap.parse_args(argv)
+
     hb.set_seed(0)
     X, Y = models.make_linear_dataset(n=200, a=1.0, b=2.0, noise=0.5)
 
@@ -25,14 +31,14 @@ def main():
     m = models.MAPLinearModel(seed=0, X=X, Y=Y)
     opt = m.logp()
     opt.compile(optax.adam(0.05))
-    opt.optimize(maxiter=3000)
+    opt.optimize(maxiter=args.map_iters)
     print("MAP: a=%.3f b=%.3f" % (float(m.a.value[0]), float(m.b.value[0])))
 
     # --- VI fit (Henbun_structure2.ipynb: 50k iterations) -----------------
     mv = models.VariationalLinearModel(seed=0, X=X, Y=Y)
     vopt = mv.elbo()
     vopt.compile(optax.adam(0.01))
-    vopt.optimize(maxiter=50000)
+    vopt.optimize(maxiter=args.vi_iters)
     a_mu = float(np.asarray(mv.a.q_mu.free_value)[0])
     a_sig = float(np.exp(np.asarray(mv.a.q_sqrt.free_value))[0])
     b_mu = float(np.asarray(mv.b.q_mu.free_value)[0])

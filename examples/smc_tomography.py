@@ -53,12 +53,12 @@ def smoothness_precision(g, strength=4.0):
     return (strength * L + np.eye(n)).astype(np.float32)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=8)
     ap.add_argument("--particles", type=int, default=4096)
     ap.add_argument("--noise", type=float, default=0.1)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     g = args.grid
     rng = np.random.default_rng(0)

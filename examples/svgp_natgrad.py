@@ -22,7 +22,7 @@ from henbun_tpu import models
 from henbun_tpu import optimizers as hopt
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--inducing", type=int, default=64)
@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--minibatch", type=int, default=1024)
     ap.add_argument("--adam-only", action="store_true")
     ap.add_argument("--gamma", type=float, default=0.1)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rng = np.random.default_rng(0)
     X = np.sort(rng.uniform(0, 6, size=(args.n, 1)).astype(np.float32), axis=0)

@@ -30,6 +30,7 @@ def sample_posterior(
     key=None,
     init_jitter=0.1,
     mesh=None,
+    return_diagnostics=False,
     **kwargs,
 ):
     """Sample the posterior defined by a model objective.
@@ -40,6 +41,11 @@ def sample_posterior(
     Returns (result, posterior) where `result` is the sampler's NamedTuple
     and `posterior` maps each tree path to CONSTRAINED-space samples with
     leading axes [num_samples, num_chains].
+
+    Diagnostics (bulk ESS, split R-hat, divergences) are computed on the
+    free-space samples and printed when ``[verbosity] hmc_verb`` >= 1; pass
+    ``return_diagnostics=True`` to also get the summary dict as a third
+    return value.
     """
     if sampler not in _SAMPLERS:
         raise ValueError("sampler must be one of %s" % sorted(_SAMPLERS))
@@ -64,4 +70,13 @@ def sample_posterior(
         transform = lookup[path].transform
         posterior[path] = np.asarray(transform.forward(free))
         off += size
+
+    from . import diagnostics
+
+    summary = diagnostics.summarize(
+        flat, accept_prob=getattr(res, "accept_prob", None)
+    )
+    diagnostics.report(summary, prefix="[henbun %s]" % sampler)
+    if return_diagnostics:
+        return res, posterior, summary
     return res, posterior

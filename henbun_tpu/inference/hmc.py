@@ -212,27 +212,9 @@ def sample(
 
 
 def effective_sample_size(samples):
-    """ESS per dimension via the initial-monotone-sequence autocorrelation
-    estimator, chains pooled. samples: [n, num_chains, dim] -> [dim]."""
-    x = np.asarray(samples)
-    n, c, d = x.shape
-    ess = np.zeros(d)
-    for j in range(d):
-        per_chain = []
-        for ci in range(c):
-            y = x[:, ci, j] - x[:, ci, j].mean()
-            acf = np.correlate(y, y, mode="full")[n - 1 :]
-            if acf[0] <= 0:
-                per_chain.append(1.0)
-                continue
-            acf = acf / acf[0]
-            # sum adjacent pairs until a pair goes negative
-            tau = 1.0
-            for k in range(1, n - 2, 2):
-                pair = acf[k] + acf[k + 1]
-                if pair < 0:
-                    break
-                tau += 2 * pair
-            per_chain.append(n / max(tau, 1.0))
-        ess[j] = np.sum(per_chain)
-    return ess
+    """ESS per dimension (per-chain initial-positive-sequence estimator,
+    summed over chains). Delegates to the diagnostics library; kept here for
+    back-compat. samples: [n, num_chains, dim] -> [dim]."""
+    from . import diagnostics
+
+    return diagnostics.effective_sample_size(samples)

@@ -55,11 +55,26 @@ def _lib():
 
 
 def write_dataset(path, *arrays):
-    """Write float32 arrays (same leading dim) as one row-major binary file of
-    concatenated rows; returns (n_rows, row_floats, column slices)."""
-    arrays = [np.ascontiguousarray(a, dtype=np.float32) for a in arrays]
-    n = arrays[0].shape[0]
-    flat = [a.reshape(n, -1) for a in arrays]
+    """Write arrays (same leading dim) as one row-major binary file of
+    concatenated 4-byte-element rows; returns
+    (n_rows, row_floats, column slices, column dtypes).
+
+    Float arrays are stored as float32. Integer/bool arrays are stored as
+    int32 BIT PATTERNS inside the float32 row (the loader only ever memcpys
+    4-byte lanes, so the bits round-trip exactly — no 2^24 float precision
+    cliff); recover them with :func:`read_columns`.
+    """
+    n = np.shape(arrays[0])[0]
+    flat, dtypes = [], []
+    for a in arrays:
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.integer) or a.dtype == bool:
+            f = np.ascontiguousarray(a, dtype=np.int32).reshape(n, -1)
+            flat.append(f.view(np.float32))
+            dtypes.append(np.dtype(np.int32))
+        else:
+            flat.append(np.ascontiguousarray(a, dtype=np.float32).reshape(n, -1))
+            dtypes.append(np.dtype(np.float32))
     assert all(f.shape[0] == n for f in flat)
     rows = np.concatenate(flat, axis=1)
     rows.tofile(path)
@@ -67,7 +82,20 @@ def write_dataset(path, *arrays):
     for f in flat:
         slices.append((off, off + f.shape[1]))
         off += f.shape[1]
-    return n, rows.shape[1], slices
+    return n, rows.shape[1], slices, dtypes
+
+
+def read_columns(batch, slices, dtypes=None):
+    """Split a loader megabatch [rows, row_floats] back into the columns
+    written by :func:`write_dataset`, reinterpreting int columns from their
+    stored bit patterns."""
+    out = []
+    for i, (a, b) in enumerate(slices):
+        col = batch[:, a:b]
+        if dtypes is not None and dtypes[i] == np.dtype(np.int32):
+            col = np.ascontiguousarray(col).view(np.int32)
+        out.append(col)
+    return out
 
 
 class OutOfCoreLoader:
@@ -93,6 +121,17 @@ class OutOfCoreLoader:
         self._lib = _lib()
         self.batch_rows = int(batch_rows)
         self.row_floats = int(row_floats)
+        need = int(n_rows) * int(row_floats) * 4
+        try:
+            actual = os.path.getsize(path)
+        except OSError:
+            raise IOError("dataset file %s does not exist" % path)
+        if actual < need:
+            raise IOError(
+                "dataset file %s is %d bytes but n_rows=%d x row_floats=%d "
+                "requires %d — a short mmap would SIGBUS on first touch"
+                % (path, actual, n_rows, row_floats, need)
+            )
         self._h = self._lib.hb_loader_open(
             str(path).encode(), int(n_rows), int(row_floats), int(batch_rows),
             int(n_buffers), int(n_threads), int(seed), int(train_rows),
@@ -103,9 +142,11 @@ class OutOfCoreLoader:
 
     def next(self):
         """Block until a prefetched megabatch is ready; returns a numpy COPY
-        (the underlying buffer is immediately recycled to the prefetch ring)."""
+        (the underlying buffer is immediately recycled to the prefetch ring).
+        Raises RuntimeError if the loader is closed while waiting."""
         ptr = self._lib.hb_loader_next(self._h)
-        n = self.batch_rows * self.row_floats
+        if not ptr:
+            raise RuntimeError("loader was closed while waiting for a batch")
         arr = np.ctypeslib.as_array(ptr, shape=(self.batch_rows, self.row_floats))
         out = np.array(arr)  # copy out of the ring buffer
         self._lib.hb_loader_release(self._h, ptr)

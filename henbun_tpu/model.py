@@ -191,6 +191,17 @@ class Indexer:
         ]
 
 
+def _resolve_method(model, method):
+    """Accept an objective in any of the shapes users hold one in: a plain
+    method, an @AutoOptimize-decorated method (unwrap), a method-name string,
+    or an existing Optimizer (take its objective)."""
+    if isinstance(method, str):
+        method = getattr(type(model), method)
+    if isinstance(method, Optimizer):
+        method = method.likelihood_method
+    return getattr(method, "__wrapped__", method)
+
+
 class AutoOptimize:
     """Decorator turning a model method into a compilable objective; the
     Optimizer is created on first access and cached on the instance
@@ -260,74 +271,55 @@ class Optimizer:
         model.initialize()
         model.validate()
 
-        self._trainable = model.param_dict(self.collection)
-        self._frozen = model.param_dict(exclude=self.collection)
-        if len(self._trainable) == 0:
-            raise ValueError(
-                "no variables found in collection %r" % (self.collection,)
-            )
-        self.opt_state = self.optimizer.init(self._trainable)
         self._mb_paths = frozenset(
             v.path_to(model)
             for v in model.get_variables(graph_key.DATA)
             if isinstance(v, MinibatchData)
         )
+        self._trainable = self._place(model.param_dict(self.collection))
+        self._frozen = self._place(model.param_dict(exclude=self.collection))
+        if len(self._trainable) == 0:
+            raise ValueError(
+                "no variables found in collection %r" % (self.collection,)
+            )
+        self.opt_state = self._place(self.optimizer.init(self._trainable))
 
         method = self.likelihood_method
         mb_paths = self._mb_paths
 
-        def evaluate_one(trainable, frozen, data, idx, key):
+        def evaluate_core(trainable, frozen, d, key):
+            """Objective on an already-selected per-step data dict."""
             params = dict(trainable)
             params.update(frozen)
+            with _ctx.trace(model, params, d, key):
+                return method(model)
+
+        if num_elbo_samples > 1:
+            # S > 1 averages S independent reparameterized samples of the
+            # objective per step (vmapped over noise keys inside one XLA
+            # program) — an S-fold gradient-variance reduction the reference
+            # cannot express, nearly free while the chip is latency-bound.
+            S = int(num_elbo_samples)
+            _core_one = evaluate_core
+
+            def evaluate_core(trainable, frozen, d, key):
+                keys = jax.random.split(key, S)
+                vals = jax.vmap(
+                    lambda k: _core_one(trainable, frozen, d, k)
+                )(keys)
+                return jnp.mean(vals)
+
+        def evaluate(trainable, frozen, data, idx, key):
             d = {}
             for path, arr in data.items():
                 if idx is not None and path in mb_paths:
                     d[path] = jnp.take(arr, idx, axis=0)
                 else:
                     d[path] = arr
-            with _ctx.trace(model, params, d, key):
-                return method(model)
+            return evaluate_core(trainable, frozen, d, key)
 
-        def _maybe_multisample(fn):
-            if num_elbo_samples <= 1:
-                return fn
-            S = int(num_elbo_samples)
-
-            def wrapped(trainable, frozen, data, idx, key):
-                keys = jax.random.split(key, S)
-                vals = jax.vmap(
-                    lambda k: fn(trainable, frozen, data, idx, k)
-                )(keys)
-                return jnp.mean(vals)
-
-            return wrapped
-
-        evaluate = _maybe_multisample(evaluate_one)
-
-        def make_block_evaluate(mb_static):
-            """Variant where `idx` is a scalar block START into train-only
-            data; slicing is a contiguous dynamic_slice — at large N the
-            random row gather is HBM-latency-bound while a block read streams
-            (requires the data passed in to be the permuted train split)."""
-
-            def block_one(trainable, frozen, data, start, key):
-                params = dict(trainable)
-                params.update(frozen)
-                d = {}
-                for path, arr in data.items():
-                    if path in mb_paths:
-                        d[path] = jax.lax.dynamic_slice_in_dim(
-                            arr, start, mb_static, 0
-                        )
-                    else:
-                        d[path] = arr
-                with _ctx.trace(model, params, d, key):
-                    return method(model)
-
-            return _maybe_multisample(block_one)
-
+        self._evaluate_core = evaluate_core
         self._evaluate = evaluate
-        self._make_block_evaluate = make_block_evaluate
 
         # eager validation: abstractly trace the objective once so unfed
         # LOCAL variables / shape errors surface at compile() like the
@@ -357,6 +349,96 @@ class Optimizer:
     def _require_compiled(self):
         if not self._compiled:
             self.compile()
+
+    # ------------------------------------------------- placement/jit hooks
+    # ShardedOptimizer (parallel/sharding.py) overrides these five hooks;
+    # everything else — nan_guard, save/restore_state, callbacks, metrics,
+    # block mode, the scan-chunk loop — is shared driver code.
+    def _place(self, tree):
+        """Place a parameter/optimizer pytree on device (replicated over the
+        mesh in the sharded driver). Identity on a single chip: jit moves
+        host arrays as needed."""
+        return tree
+
+    def _place_data(self, path, arr):
+        """Place one data array (leading axis sharded over the mesh 'data'
+        axis in the sharded driver)."""
+        return arr
+
+    def _jit_chunk(self, chunk):
+        """Compile the scan-chunk function, donating params + opt state."""
+        return jax.jit(chunk, donate_argnums=(0, 1))
+
+    def _make_select_batch(self, minibatch_size, train_size, mode):
+        """Return select(data, train_idx, key) -> (per-step data dict, sample
+        key), traced inside the step. 'random' draws uniform rows with
+        replacement through the permuted train index (the reference Indexer's
+        semantics, model.py:147-153); 'block' takes a random CONTIGUOUS block
+        of the pre-gathered permuted train split — a dynamic_slice streams
+        from HBM where large-table random row gathers are latency-bound."""
+        mb_paths = self._mb_paths
+        mb = minibatch_size
+        if mb is None:
+            return lambda data, train_idx, key: (data, key)
+        if mode == "block":
+
+            def select(data, train_idx, key):
+                k_i, k_s = jax.random.split(key)
+                start = jax.random.randint(
+                    k_i, (), 0, max(train_size - mb + 1, 1)
+                )
+                d = {
+                    path: (
+                        jax.lax.dynamic_slice_in_dim(arr, start, mb, 0)
+                        if path in mb_paths
+                        else arr
+                    )
+                    for path, arr in data.items()
+                }
+                return d, k_s
+
+            return select
+
+        def select(data, train_idx, key):
+            k_i, k_s = jax.random.split(key)
+            sel = jax.random.randint(k_i, (mb,), 0, train_size)
+            idx = jnp.take(train_idx, sel)
+            d = {
+                path: (
+                    jnp.take(arr, idx, axis=0) if path in mb_paths else arr
+                )
+                for path, arr in data.items()
+            }
+            return d, k_s
+
+        return select
+
+    def _prepare_optimize_data(self, data, minibatch_size, mode):
+        """Host-side data staging for optimize(): returns
+        (data, train_idx, train_size). Block mode gathers the permuted train
+        split ONCE up front so every step reads a contiguous block."""
+        model = self.model
+        if minibatch_size is None:
+            return data, jnp.zeros((1,), dtype=jnp.int32), 1
+        if model._index.data_size is None:
+            raise ValueError(
+                "minibatch_size=%r was passed but model %r has no "
+                "MinibatchData — declare minibatched arrays with "
+                "hb.MinibatchData, or drop minibatch_size."
+                % (minibatch_size, model.name)
+            )
+        train_idx = jnp.asarray(model._index._train_index)
+        train_size = int(model._index.train_size)
+        if mode == "block":
+            data = {
+                path: (
+                    self._place_data(path, jnp.take(arr, train_idx, axis=0))
+                    if path in self._mb_paths
+                    else arr
+                )
+                for path, arr in data.items()
+            }
+        return data, train_idx, train_size
 
     # --------------------------------------------------------------- resume
     def save_state(self, path):
@@ -396,8 +478,8 @@ class Optimizer:
             "key_count": np.array(self.model._key_count, np.int64),
         }
         st = checkpoint.restore_orbax(path, like)
-        self._trainable = dict(st["trainable"])
-        self.opt_state = st["opt_state"]
+        self._trainable = self._place(dict(st["trainable"]))
+        self.opt_state = self._place(st["opt_state"])
         self.global_step = int(st["global_step"])
         self.model._key_count = int(st["key_count"])
         self.model.set_param_dict(dict(self._trainable))
@@ -409,13 +491,17 @@ class Optimizer:
         model = self.model
         if model.initialize_ops:
             model.initialize()
-            self._trainable = model.param_dict(self.collection)
-            self._frozen = model.param_dict(exclude=self.collection)
+            self._trainable = self._place(model.param_dict(self.collection))
+            self._frozen = self._place(
+                model.param_dict(exclude=self.collection)
+            )
         model.validate()
 
     def _data_args(self):
         return {
-            v.path_to(self.model): v.device_value()
+            v.path_to(self.model): self._place_data(
+                v.path_to(self.model), v.device_value()
+            )
             for v in self.model.get_variables(graph_key.DATA)
         }
 
@@ -428,29 +514,15 @@ class Optimizer:
             return self._chunk_cache[cache_key]
 
         tx = self.optimizer
-        mb = minibatch_size
-        if mode == "block" and mb is not None:
-            evaluate = self._make_block_evaluate(mb)
-        else:
-            evaluate = self._evaluate
+        evaluate_core = self._evaluate_core
+        select = self._make_select_batch(minibatch_size, train_size, mode)
 
         def chunk(trainable, opt_state, frozen, data, keys, train_idx):
             def one_step(carry, key):
                 trainable, opt_state = carry
-                if mb is None:
-                    idx = None
-                    k_s = key
-                elif mode == "block":
-                    k_i, k_s = jax.random.split(key)
-                    idx = jax.random.randint(
-                        k_i, (), 0, max(train_size - mb + 1, 1)
-                    )
-                else:
-                    k_i, k_s = jax.random.split(key)
-                    sel = jax.random.randint(k_i, (mb,), 0, train_size)
-                    idx = jnp.take(train_idx, sel)
+                d, k_s = select(data, train_idx, key)
                 loss, grads = jax.value_and_grad(
-                    lambda t: -evaluate(t, frozen, data, idx, k_s)
+                    lambda t: -evaluate_core(t, frozen, d, k_s)
                 )(trainable)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
@@ -461,7 +533,7 @@ class Optimizer:
             )
             return trainable, opt_state, objs
 
-        fn = jax.jit(chunk, donate_argnums=(0, 1))
+        fn = self._jit_chunk(chunk)
         self._chunk_cache[cache_key] = fn
         return fn
 
@@ -472,6 +544,13 @@ class Optimizer:
         else → test split."""
         if minibatch_size is None:
             return None
+        if self.model._index.data_size is None:
+            raise ValueError(
+                "minibatch_size=%r was passed but model %r has no "
+                "MinibatchData — declare minibatched arrays with "
+                "hb.MinibatchData, or drop minibatch_size."
+                % (minibatch_size, self.model.name)
+            )
         if training:
             return self.model._index.train_index(minibatch_size)
         return self.model._index.test_index(minibatch_size)
@@ -515,31 +594,9 @@ class Optimizer:
         self._require_compiled()
         self._refresh_params()
         model = self.model
-        data = self._data_args()
-
-        if minibatch_size is not None:
-            if model._index.data_size is None:
-                raise ValueError(
-                    "minibatch_size given but the model has no MinibatchData."
-                )
-            train_idx = jnp.asarray(model._index._train_index)
-            train_size = int(model._index.train_size)
-            if minibatch_mode == "block":
-                # one up-front gather of the permuted train split; every step
-                # then reads a CONTIGUOUS block (random row gathers over a
-                # large table are HBM-latency-bound). Requires a pre-shuffled
-                # split — the Indexer's permutation provides it.
-                data = {
-                    path: (
-                        jnp.take(arr, train_idx, axis=0)
-                        if path in self._mb_paths
-                        else arr
-                    )
-                    for path, arr in data.items()
-                }
-        else:
-            train_idx = jnp.zeros((1,), dtype=jnp.int32)
-            train_size = 1
+        data, train_idx, train_size = self._prepare_optimize_data(
+            self._data_args(), minibatch_size, minibatch_mode
+        )
 
         from .utils.profiling import trace_if_enabled
 
@@ -566,8 +623,12 @@ class Optimizer:
                     objs_host = np.asarray(objs)  # device sync, once per chunk
                     if nan_guard and not np.isfinite(objs_host).all():
                         bad_at = int(np.argmax(~np.isfinite(objs_host)))
-                        trainable = jax.tree_util.tree_map(jnp.asarray, snap_t)
-                        opt_state = jax.tree_util.tree_map(jnp.asarray, snap_o)
+                        trainable = self._place(
+                            jax.tree_util.tree_map(jnp.asarray, snap_t)
+                        )
+                        opt_state = self._place(
+                            jax.tree_util.tree_map(jnp.asarray, snap_o)
+                        )
                         keys = jax.random.split(model._next_key(), n)
                         trainable, opt_state, objs = fn(
                             trainable, opt_state, self._frozen, data, keys,
@@ -575,6 +636,15 @@ class Optimizer:
                         )
                         objs_host = np.asarray(objs)
                         if not np.isfinite(objs_host).all():
+                            # leave the model at the last GOOD state, not the
+                            # diverged one (the finally block commits
+                            # `trainable` back into the tree)
+                            trainable = self._place(
+                                jax.tree_util.tree_map(jnp.asarray, snap_t)
+                            )
+                            opt_state = self._place(
+                                jax.tree_util.tree_map(jnp.asarray, snap_o)
+                            )
                             raise FloatingPointError(
                                 "objective went non-finite at step ~%d twice "
                                 "in a row; aborting (first failure at chunk "

@@ -1,18 +1,40 @@
-"""Smoke tests that every example script imports cleanly (catching API
-drift); the heavy mains are exercised manually / in the verify drives."""
+"""Every example main() EXECUTES end-to-end at tiny iteration counts
+(VERDICT r1 #8: an example must not be able to rot while its import stays
+green). Tiny configs keep each run to a few seconds on the CPU mesh; the
+full-size runs remain the manual / verify drives."""
 import importlib.util
 import pathlib
 
 import pytest
 
-EXAMPLES = sorted(
-    p for p in (pathlib.Path(__file__).parent.parent / "examples").glob("*.py")
-)
+EXAMPLES_DIR = pathlib.Path(__file__).parent.parent / "examples"
+EXAMPLES = sorted(EXAMPLES_DIR.glob("*.py"))
+
+# argv for a fast-but-real run of each example's main()
+TINY_ARGV = {
+    "gaussian_process": ["--iters", "400"],
+    "expert_gpr": ["--init-iters", "150", "--rounds", "2", "--iters", "100",
+                   "--n", "60"],
+    "linear_models": ["--map-iters", "300", "--vi-iters", "500"],
+    "amortized_svi": ["--n", "4096", "--iters", "200", "--minibatch", "256"],
+    "hmc_bnn": ["--chains", "8", "--samples", "50", "--warmup", "50"],
+    "smc_tomography": ["--grid", "4", "--particles", "512"],
+    "svgp_natgrad": ["--n", "2048", "--iters", "150"],
+}
 
 
-@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
-def test_example_imports(path):
+def _load(path):
     spec = importlib.util.spec_from_file_location(path.stem, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
+def test_example_main_runs(path):
+    mod = _load(path)
     assert hasattr(mod, "main")
+    assert path.stem in TINY_ARGV, (
+        "add a tiny-argv entry for new example %s" % path.name
+    )
+    mod.main(TINY_ARGV[path.stem])

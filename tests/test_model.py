@@ -322,3 +322,32 @@ class TestCompileValidation:
         m = Bad(seed=0)
         with pytest.raises(ValueError, match="not fed"):
             m.obj().compile()
+
+
+class TestMinibatchArgValidation:
+    """VERDICT r1 #9: minibatch_size on a model without MinibatchData must
+    fail with a named, actionable error — not from deep inside the Indexer."""
+
+    def _model(self):
+        class Full(hb.model.Model):
+            def setUp(self):
+                self.x = hb.Data(np.ones((8, 2), dtype=np.float32))
+                self.p = hb.Variable([2])
+
+            @hb.AutoOptimize()
+            def obj(self):
+                return -jnp.sum(jnp.square(self.x - self.p))
+
+        return Full(seed=0)
+
+    def test_run_raises_clearly(self):
+        opt = self._model().obj()
+        opt.compile(optax.adam(0.01))
+        with pytest.raises(ValueError, match="MinibatchData"):
+            opt.run(minibatch_size=4, training=False)
+
+    def test_optimize_raises_clearly(self):
+        opt = self._model().obj()
+        opt.compile(optax.adam(0.01))
+        with pytest.raises(ValueError, match="MinibatchData"):
+            opt.optimize(maxiter=5, minibatch_size=4)
