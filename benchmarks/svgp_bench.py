@@ -1,0 +1,85 @@
+"""SVGP-at-scale benchmark (VERDICT r1 #6): the framework's own recommended
+large-N family, measured — large-N sparse variational GP regression with
+minibatch SVI and natural gradients on q(u).
+
+Workload: N rows of 1D noisy-sine data, m inducing points, fullrank q(u),
+minibatch B, natgrad(q) + Adam(hypers). Reports steps/s and examples/s
+(steps/s x B) for both the MC ELBO and the deterministic analytic ELBO.
+
+Run: python benchmarks/svgp_bench.py [--n 1000000] [--m 128] [--minibatch 1024]
+Prints one JSON line per objective.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import optax
+
+import henbun_tpu as hb
+from henbun_tpu import models
+from henbun_tpu import optimizers as hopt
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--m", type=int, default=128)
+    ap.add_argument("--minibatch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--mode", default="block", choices=["block", "random"])
+    args = ap.parse_args(argv)
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+    except Exception:
+        pass
+
+    def note(msg):
+        print("[svgp_bench] " + msg, file=sys.stderr, flush=True)
+
+    hb.set_seed(0)
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 6, size=(args.n, 1)).astype(np.float32)
+    Y = (np.sin(X) + rng.normal(size=X.shape) * 0.3).astype(np.float32)
+
+    for objective in ["ELBO", "ELBO_analytic"]:
+        m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=args.m)
+        opt = getattr(m, objective)()
+        # natgrad gamma: ~0.01 is the stable ceiling on MC objectives; the
+        # deterministic analytic expectation takes 0.1 (CLAUDE.md / PERF.md)
+        gamma = 0.1 if objective == "ELBO_analytic" else 0.01
+        opt.compile(hopt.natural_gradient(m, gamma=gamma, rest=optax.adam(0.005)))
+        note("%s: compiling + warming (n=%d, m=%d, B=%d)"
+             % (objective, args.n, args.m, args.minibatch))
+        opt.optimize(maxiter=args.steps, minibatch_size=args.minibatch,
+                     minibatch_mode=args.mode)
+        note("warmed; timing")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            opt.optimize(maxiter=args.steps, minibatch_size=args.minibatch,
+                         minibatch_mode=args.mode)
+            best = min(best, time.perf_counter() - t0)
+        steps_per_s = args.steps / best
+        elbo_tail = float(np.mean(opt.history[-1][-100:]))
+        print(json.dumps({
+            "metric": "svgp_%s_steps_per_s" % objective.lower(),
+            "value": round(steps_per_s, 1),
+            "unit": "steps/s/chip (n=%d, m=%d, B=%d, natgrad)"
+                    % (args.n, args.m, args.minibatch),
+            "examples_per_s": round(steps_per_s * args.minibatch, 0),
+            "elbo_tail_mean": round(elbo_tail, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ from . import nn
 from . import gp
 from . import ops
 from . import optimizers
+from . import batched
+from .batched import BatchedOptimizer
 from . import inference
 from . import parallel
 from . import utils

@@ -365,6 +365,10 @@ class Optimizer:
         axis in the sharded driver)."""
         return arr
 
+    def _commit_params(self, trainable):
+        """Write optimized free-space values back into the model tree(s)."""
+        self.model.set_param_dict(dict(trainable))
+
     def _jit_chunk(self, chunk):
         """Compile the scan-chunk function, donating params + opt state."""
         return jax.jit(chunk, donate_argnums=(0, 1))
@@ -482,7 +486,7 @@ class Optimizer:
         self.opt_state = self._place(st["opt_state"])
         self.global_step = int(st["global_step"])
         self.model._key_count = int(st["key_count"])
-        self.model.set_param_dict(dict(self._trainable))
+        self._commit_params(self._trainable)
         return self
 
     def _refresh_params(self):
@@ -668,5 +672,5 @@ class Optimizer:
         finally:
             self._trainable = trainable
             self.opt_state = opt_state
-            self.model.set_param_dict(dict(trainable))
+            self._commit_params(trainable)
         return self

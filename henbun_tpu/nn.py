@@ -104,37 +104,14 @@ class NeuralNet(Parameterized):
             setattr(self, "matbias" + str(i), matbias)
 
     def __call__(self, x):
-        fused = self._fused_call(x)
-        if fused is not None:
-            return fused
+        # plain jnp chain: XLA's fusion measured within 4% of a hand-written
+        # Pallas MLP kernel at encoder sizes (the kernel was retired in round
+        # 2 per docs/PERF.md §Pallas — `[tpu] use_pallas` now gates only the
+        # batched-Cholesky kernel, which does win)
         y = x
         for i in range(len(self.nodes) - 2):
             y = self.neuron_types[i](self._matbias_list[i](y))
         return self._matbias_list[-1](y)
-
-    def _fused_call(self, x):
-        """Use the fused Pallas 2-layer kernel when the configuration allows:
-        TPU backend, [in, hidden, out] shape, supported activation, plain 2-D
-        weights, clipping off. Returns None to fall back to the jnp path."""
-        from .ops import pallas_mlp
-
-        if not settings.tpu.use_pallas:
-            return None
-        if settings.numerics.clip_by_value:
-            return None
-        if jax.default_backend() != "tpu":
-            return None
-        if not pallas_mlp.supported(self.nodes, self.neuron_types):
-            return None
-        if getattr(x, "ndim", 0) != 2:
-            return None
-        mb0, mb1 = self._matbias_list
-        w0, b0 = mb0.w, mb0.b
-        w1, b1 = mb1.w, mb1.b
-        if any(getattr(t, "ndim", 0) != 2 for t in (w0, b0, w1, b1)):
-            return None
-        name = getattr(self.neuron_types[0], "__name__", "")
-        return pallas_mlp.mlp2_forward(x, w0, b0, w1, b1, name)
 
     def __getitem__(self, i):
         return self._matbias_list[i]

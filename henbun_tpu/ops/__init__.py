@@ -12,4 +12,4 @@ from .linalg import (
 )
 from . import quadrature
 from .quadrature import gauss_hermite_expectation
-from . import pallas_mlp, pallas_sample, pallas_chol
+from . import pallas_chol
