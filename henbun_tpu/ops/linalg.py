@@ -166,7 +166,44 @@ def _cholesky_dispatch_vmap(axis_size, in_batched, A):
     return jnp.linalg.cholesky(A), a_batched
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+@jax.custom_batching.custom_vmap
+def _tri_solve_T_dispatch(L, B):
+    """X with L^T X = B (L lower triangular) — the solve shape reverse-mode
+    Cholesky gradients produce, twice per factorization. Single systems use
+    XLA's triangular_solve; BATCHED calls (a BatchedOptimizer trace, or a
+    vmapped model) dispatch to the Pallas vectorized-batch back-substitution
+    kernel when `[tpu] use_pallas` is on (measured 3.2-4.4x faster than
+    XLA's batched solve at B=16, n=40-128 on v5e; benchmarks/solve_bench.py).
+    """
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1)
+
+
+@_tri_solve_T_dispatch.def_vmap
+def _tri_solve_T_dispatch_vmap(axis_size, in_batched, L, B):
+    l_batched, b_batched = in_batched
+    use_pallas = (
+        l_batched
+        and b_batched
+        and bool(settings.tpu.use_pallas)
+        and L.ndim == 3
+        and L.dtype == jnp.float32
+        and L.shape[-1] <= 128
+        and B.shape[-1] <= 128
+        and axis_size * 128 * 128 * 4 * 3 <= 12 * 2**20
+        and jax.devices()[0].platform == "tpu"
+    )
+    if use_pallas:
+        from .pallas_solve import tri_solve128_vbatched
+
+        return tri_solve128_vbatched(L, B, transpose=True), True
+    if not l_batched:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not b_batched:
+        B = jnp.broadcast_to(B[None], (axis_size,) + B.shape)
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1), True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def safe_cholesky(A, jitter=None):
     """Lower Cholesky of A + jitter*I with NaN-retry jitter escalation.
 
@@ -180,9 +217,11 @@ def safe_cholesky(A, jitter=None):
     common path) hidden behind a custom differentiation rule — the earlier
     `lax.cond` retry chain lowered to `select` under `vmap`, making every
     BatchedOptimizer step pay all three factorizations AND their gradients
-    for every model; the custom JVP (standard Cholesky tangent,
-    dL = L phi(L^-1 dA L^-T)) differentiates only the ONE factor that was
-    returned.
+    for every model; the custom rule differentiates only the ONE factor that
+    was returned. Reverse-mode only (custom_vjp): the hand-written backward
+    lets batched traces route both L^T solves through the Pallas kernel
+    (`_tri_solve_T_dispatch`); nothing in the library forward-differentiates
+    through a factorization.
     """
     if jitter is None:
         jitter = settings.numerics.jitter_level
@@ -208,26 +247,29 @@ def safe_cholesky(A, jitter=None):
     return L
 
 
-@safe_cholesky.defjvp
-def _safe_cholesky_jvp(jitter, primals, tangents):
-    """dL = L phi(L^-1 dA L^-T), phi = tril with halved diagonal (Murray
-    2016). Linear in dA via triangular solves, so JAX can transpose it for
-    reverse mode; the escalated jitter adds c*I whose tangent is zero."""
-    (A,) = primals
-    (dA,) = tangents
+def _safe_cholesky_fwd(A, jitter):
     L = safe_cholesky(A, jitter)
-    dA = 0.5 * (dA + jnp.swapaxes(dA, -1, -2))  # the factor reads A as symmetric
-    W = jax.scipy.linalg.solve_triangular(L, dA, lower=True)
-    W = jnp.swapaxes(
-        jax.scipy.linalg.solve_triangular(
-            L, jnp.swapaxes(W, -1, -2), lower=True
-        ),
-        -1,
-        -2,
-    )  # L^-1 dA L^-T
-    phi = jnp.tril(W) - 0.5 * W * jnp.eye(W.shape[-1], dtype=W.dtype)
-    dL = matmul_hp(L, phi)
-    return L, dL
+    return L, L
+
+
+def _safe_cholesky_bwd(jitter, L, Lbar):
+    """Abar = 0.5 (S + S^T), S = L^-T (c ∘ (L^T Lbar)) L^-1 with c = lower
+    mask, diagonal halved (Murray 2016) — the exact transpose of the tangent
+    map dL = L phi(L^-1 dA_sym L^-T) the previous custom JVP used, so
+    gradients are bitwise-identical to round 2's on the XLA path. The
+    strictly-upper part of Lbar is ignored automatically (L^T Lbar's lower
+    triangle only reads Lbar's lower triangle); the escalated jitter adds c*I
+    whose cotangent contribution is zero."""
+    n = L.shape[-1]
+    c = jnp.tril(jnp.ones((n, n), L.dtype)) - 0.5 * jnp.eye(n, dtype=L.dtype)
+    Y = c * matmul_hp(jnp.swapaxes(L, -1, -2), Lbar)
+    Z = _tri_solve_T_dispatch(L, Y)  # L^-T Y
+    W = _tri_solve_T_dispatch(L, jnp.swapaxes(Z, -1, -2))  # S^T = L^-T Z^T
+    Abar = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+    return (Abar,)
+
+
+safe_cholesky.defvjp(_safe_cholesky_fwd, _safe_cholesky_bwd)
 
 
 def matmul_hp(a, b, **kwargs):

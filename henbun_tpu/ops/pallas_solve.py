@@ -1,25 +1,36 @@
-"""Vectorized-batch triangular solve (lower), n <= 128, batch in one VMEM
-block.
+"""Vectorized-batch Pallas triangular solves for small systems (n <= 128).
 
-Companion to `pallas_chol.cholesky128_vbatched` and built for the same
-reason: XLA's batched `triangular_solve` re-pays generic while-loop overhead
-per panel (measured 73-76 us at B=16, n=40 on v5e — as slow as its batched
-Cholesky), while a hand kernel pays the sequential substitution chain once
-for the whole batch:
+Companion to `pallas_chol.cholesky128_vbatched` and aimed at the same
+workload: `BatchedOptimizer` traces where B independent small models step in
+one program. After the batched Cholesky win (2.1-2.6x, docs/PERF.md §Pallas)
+the next-largest cost in the batched GPR step is XLA's batched
+`triangular_solve` in the Cholesky *backward* (73-76 us at B=16, n=40):
+reverse mode through the factorization lowers to two solves against L^T per
+step. XLA's batched solve has the same disease as its batched Cholesky — the
+sequential substitution chain re-pays generic while-loop/dynamic-slice
+machinery per panel — so the same cure applies: keep the whole [B, 128, 128]
+batch in one VMEM block, run the substitution chain ONCE for the batch with
+8-row panels (static sublane slices, iota masks, no dynamic indexing), and
+make each trailing update a K=8 batched MXU matmul.
 
-* forward substitution in 8-row panels; within a panel the 8 eliminations
-  are fully unrolled with STATIC slices (the [B, 8, 8] diagonal block is a
-  static slice of L, each row a static sublane slice);
-* after each panel, the trailing residual update is ONE batched MXU
-  contraction ([B, 128, 8] x [B, 8, K]);
-* all shapes keep >= 2 trailing dims — a rank-1 [B] intermediate crashes
-  Mosaic's vector-layout inference on v5e (see pallas_chol).
+Kernels (all float32, n <= 128, RHS up to 128 columns):
 
-Transposed solves (L^T X = B) use the flip identity: reversing both axes of
-an upper-triangular matrix yields a lower-triangular one, so
-``L^T X = B  <=>  rev(X) = solve_lower(rev2(L^T), rev(B))`` where rev flips
-the row axis and rev2 flips both; the flips are pure data movement, done
-outside the kernel.
+* `_lsolve_kernel_vbatch` — forward substitution, solves L X = B for lower
+  triangular L (top-down panels).
+* `_usolve_kernel_vbatch` — back substitution, solves U X = B for upper
+  triangular U (bottom-up panels). `L^T X = B` is this kernel on
+  `swapaxes(L)` — one cheap XLA transpose outside the kernel instead of
+  lane<->sublane transposes inside it.
+
+In-kernel numerics rules (measured in round 2, docs/PERF.md §Pallas): exact
+`/` + `jnp.sqrt` (TPU rsqrt/reciprocal are approximate), MXU matmuls at
+`precision=HIGHEST` (default bf16 passes cost ~1e-4), and reductions one
+axis at a time (fused axis=(1,2) keepdims reductions create rank-1
+intermediates that crash Mosaic's v5e vector-layout inference).
+
+The reference has no counterpart (its solves ride TF's generic C++ kernels,
+`/root/reference/Henbun/gp/gp.py:146-174`); this is the TPU-native answer to
+the same linear algebra.
 """
 from __future__ import annotations
 
@@ -33,86 +44,146 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 128
 
 
-def _trisolve_kernel_vbatch(n, l_ref, b_ref, out_ref):
+def _panel_masks():
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _TILE), 2)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, _TILE), 1)
+    rowsF = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE, 8), 1)
+    return cols, rows8, rowsF
+
+
+def _pivot(mask, panel):
+    """[B,1,1] masked scalar extract; two-step reduction (see module doc)."""
+    return jnp.sum(
+        jnp.sum(jnp.where(mask, panel, 0.0), axis=2, keepdims=True),
+        axis=1,
+        keepdims=True,
+    )
+
+
+def _trailing_matmul(A, M, S):
+    """A - M @ S with batch dim 0, contracting M's 8-lane axis with S's
+    8-sublane axis, full f32 MXU precision."""
+    return A - jax.lax.dot_general(
+        M,
+        S,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _lsolve_kernel_vbatch(n, l_ref, b_ref, out_ref):
+    """Forward substitution on all B systems at once: panel p solves rows
+    [8p, 8p+8) of X, then one batched MXU matmul folds those rows into every
+    remaining RHS row (the right-looking update)."""
     B = l_ref.shape[0]
-    K = b_ref.shape[-1]
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, K), 1)
-    ACC = b_ref[:]  # [B, 128, K] residual right-hand side
-    out_ref[:] = jnp.zeros((B, _TILE, K), jnp.float32)
+    cols, rows8, rowsF = _panel_masks()
+    out_ref[:] = jnp.zeros((B, _TILE, _TILE), jnp.float32)
+    A = b_ref[:]
+    L = l_ref[:]
     for p in range((n + 7) // 8):
         r0 = 8 * p
-        S = ACC[:, r0 : r0 + 8, :]  # [B, 8, K]
-        Lsub = l_ref[:, r0 : r0 + 8, r0 : r0 + 8]  # [B, 8, 8] static slice
-        X = jnp.zeros_like(S)
+        S = A[:, r0 : r0 + 8, :]
+        Lp = L[:, r0 : r0 + 8, :]
         for i in range(min(8, n - r0)):
-            c = S[:, i : i + 1, :]  # [B, 1, K]
-            for j in range(i):
-                c = c - Lsub[:, i : i + 1, j : j + 1] * X[:, j : j + 1, :]
-            xi = c / Lsub[:, i : i + 1, i : i + 1]
-            X = jnp.where(rows8 == i, xi, X)
-        out_ref[:, r0 : r0 + 8, :] = X
+            c = r0 + i
+            colmask = cols == c
+            pivot = _pivot((rows8 == i) & colmask, Lp)
+            xrow = (
+                jnp.sum(jnp.where(rows8 == i, S, 0.0), axis=1, keepdims=True)
+                / pivot
+            )  # [B, 1, 128] solved row i
+            colv = jnp.sum(
+                jnp.where(colmask, Lp, 0.0), axis=2, keepdims=True
+            )  # [B, 8, 1] = L[r0:r0+8, c]
+            S = jnp.where(rows8 > i, S - colv * xrow, S)
+            S = jnp.where(rows8 == i, jnp.broadcast_to(xrow, S.shape), S)
+        out_ref[:, r0 : r0 + 8, :] = S
         if r0 + 8 < n:
-            # trailing residual update: rows above r0+8 receive garbage but
-            # have already been consumed — only rows > r0+7 are read later
-            Lcols = l_ref[:, :, r0 : r0 + 8]  # [B, 128, 8]
-            ACC = ACC - jax.lax.dot_general(
-                Lcols,
-                X,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            M = jnp.where(rowsF > r0 + 7, L[:, :, r0 : r0 + 8], 0.0)
+            A = _trailing_matmul(A, M, S)
+
+
+def _usolve_kernel_vbatch(n, u_ref, b_ref, out_ref):
+    """Back substitution (upper triangular U), panels bottom-up."""
+    B = u_ref.shape[0]
+    cols, rows8, rowsF = _panel_masks()
+    out_ref[:] = jnp.zeros((B, _TILE, _TILE), jnp.float32)
+    A = b_ref[:]
+    U = u_ref[:]
+    npanels = (n + 7) // 8
+    for p in reversed(range(npanels)):
+        r0 = 8 * p
+        S = A[:, r0 : r0 + 8, :]
+        Up = U[:, r0 : r0 + 8, :]
+        for i in reversed(range(min(8, n - r0))):
+            c = r0 + i
+            colmask = cols == c
+            pivot = _pivot((rows8 == i) & colmask, Up)
+            xrow = (
+                jnp.sum(jnp.where(rows8 == i, S, 0.0), axis=1, keepdims=True)
+                / pivot
             )
+            colv = jnp.sum(jnp.where(colmask, Up, 0.0), axis=2, keepdims=True)
+            S = jnp.where(rows8 < i, S - colv * xrow, S)
+            S = jnp.where(rows8 == i, jnp.broadcast_to(xrow, S.shape), S)
+        out_ref[:, r0 : r0 + 8, :] = S
+        if r0 > 0:
+            M = jnp.where(rowsF < r0, U[:, :, r0 : r0 + 8], 0.0)
+            A = _trailing_matmul(A, M, S)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _trisolve_padded(l, b, n, interpret):
-    B = l.shape[0]
-    K = b.shape[-1]
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _solve128_vbatched_padded(t, b, n, upper, interpret):
+    B = t.shape[0]
+    kernel = _usolve_kernel_vbatch if upper else _lsolve_kernel_vbatch
     return pl.pallas_call(
-        functools.partial(_trisolve_kernel_vbatch, n),
-        out_shape=jax.ShapeDtypeStruct((B, _TILE, K), jnp.float32),
+        functools.partial(kernel, n),
+        out_shape=jax.ShapeDtypeStruct((B, _TILE, _TILE), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(l, b)
+    )(t, b)
 
 
-def tri_solve_vbatched(L, B, transpose=False, interpret=False):
-    """Solve L X = B (or L^T X = B with ``transpose``) for a batch of lower
-    triangular L [B, n, n] and right-hand sides B [B, n, k]; n, k <= 128,
-    float32, batch sized to VMEM (~B*(128*128+2*128*k)*4 <= 12MB)."""
+def tri_solve128_vbatched(L, B, transpose=False, interpret=False):
+    """Batched triangular solve of [Bt, n, n] lower-triangular systems
+    against [Bt, n, m] right-hand sides (n, m <= 128), the batch vectorized
+    INSIDE one kernel invocation.
+
+    ``transpose=False`` solves ``L X = B`` (forward substitution);
+    ``transpose=True`` solves ``L^T X = B`` (back substitution on the
+    transposed factor — the shape reverse-mode Cholesky gradients produce).
+    Only the relevant triangle of ``L`` is read.
+    """
+    if L.ndim != 3 or L.shape[-1] != L.shape[-2]:
+        raise ValueError("need [Bt, n, n] triangular factors; got %s" % (L.shape,))
     n = L.shape[-1]
-    k = B.shape[-1]
-    nb = L.shape[0]
-    if L.ndim != 3 or L.shape[-2] != n or n > _TILE:
-        raise ValueError("tri_solve_vbatched needs L [B, n, n], n <= 128")
-    if B.ndim != 3 or B.shape[0] != nb or B.shape[1] != n or k > _TILE:
-        raise ValueError("tri_solve_vbatched needs B [B, n, k], k <= 128")
-    if nb * (_TILE * _TILE + 2 * _TILE * max(k, 8)) * 4 > 12 * 2**20:
+    Bt = L.shape[0]
+    if B.ndim != 3 or B.shape[0] != Bt or B.shape[1] != n:
+        raise ValueError(
+            "rhs must be [Bt=%d, n=%d, m]; got %s" % (Bt, n, B.shape)
+        )
+    m = B.shape[-1]
+    if n > _TILE or m > _TILE:
+        raise ValueError("tri_solve128_vbatched needs n, m <= 128")
+    if Bt * _TILE * _TILE * 4 * 3 > 12 * 2**20:
         raise ValueError("batch too large for VMEM")
     L = L.astype(jnp.float32)
     B = B.astype(jnp.float32)
     if transpose:
-        # L^T X = B  <=>  rev2(L) (rev X) = rev B, and rev2(L^T) = rev2(L)^T
-        # is lower triangular when L is: flip, solve lower, flip back.
-        L = jnp.flip(jnp.swapaxes(L, -1, -2), axis=(-2, -1))
-        B = jnp.flip(B, axis=-2)
-    pad_n = _TILE - n
-    kp = max(k, 8)  # keep the lane axis a usable tile width
-    pad_k = kp - k
-    if pad_n:
-        # unit diagonal on the padded block keeps the padded rows finite
-        eye_pad = jnp.eye(_TILE, dtype=jnp.float32)[None, n:, :]
-        L = jnp.pad(L, ((0, 0), (0, pad_n), (0, pad_n)))
-        L = L.at[:, n:, :].set(jnp.broadcast_to(eye_pad, (nb, pad_n, _TILE)))
-        B = jnp.pad(B, ((0, 0), (0, pad_n), (0, 0)))
-    if pad_k:
-        B = jnp.pad(B, ((0, 0), (0, 0), (0, pad_k)))
-    X = _trisolve_padded(L, B, n, interpret)
-    X = X[:, :n, :k]
-    if transpose:
-        X = jnp.flip(X, axis=-2)
-    return X
+        # one XLA transpose outside the kernel; the kernel then works on
+        # natural row panels of the UPPER factor
+        T = jnp.swapaxes(L, -1, -2)
+        T = jnp.triu(T)
+    else:
+        T = jnp.tril(L)
+    padn, padm = _TILE - n, _TILE - m
+    if padn or padm:
+        T = jnp.pad(T, ((0, 0), (0, padn), (0, padn)))
+        B = jnp.pad(B, ((0, 0), (0, padn), (0, padm)))
+    X = _solve128_vbatched_padded(T, B, n, transpose, interpret)
+    return X[:, :n, :m] if (padn or padm) else X

@@ -94,6 +94,70 @@ class TestPallasCholeskyBatched:
             cholesky128_vbatched(jnp.zeros((200, 128, 128)))
 
 
+class TestPallasTriSolve:
+    """Vectorized-batch triangular solves (interpret mode). On TPU with
+    `[tpu] use_pallas` these carry both L^T solves of the batched Cholesky
+    backward (3.2-4.4x over XLA's batched solve, benchmarks/solve_bench.py)."""
+
+    @pytest.mark.parametrize("n,m", [(7, 13), (40, 40), (100, 64), (128, 128)])
+    @pytest.mark.parametrize("transpose", [False, True])
+    def test_matches_dense_solve(self, n, m, transpose):
+        from henbun_tpu.ops.pallas_solve import tri_solve128_vbatched
+
+        Bt = 3
+        A = RNG.normal(size=(Bt, n, n)).astype(np.float32)
+        L = np.tril(A) + n * np.eye(n, dtype=np.float32)
+        B = RNG.normal(size=(Bt, n, m)).astype(np.float32)
+        X = np.asarray(
+            tri_solve128_vbatched(
+                jnp.asarray(L), jnp.asarray(B), transpose=transpose,
+                interpret=True,
+            )
+        )
+        M = np.swapaxes(L, -1, -2) if transpose else L
+        Xref = np.stack([np.linalg.solve(M[i], B[i]) for i in range(Bt)])
+        assert X.shape == (Bt, n, m)
+        assert np.allclose(X, Xref, atol=1e-4 * np.abs(Xref).max())
+
+    def test_reads_only_relevant_triangle(self):
+        """Garbage above the diagonal of L must not leak into the solution."""
+        from henbun_tpu.ops.pallas_solve import tri_solve128_vbatched
+
+        n = 24
+        L = np.tril(RNG.normal(size=(2, n, n))).astype(np.float32)
+        L += n * np.eye(n, dtype=np.float32)
+        B = RNG.normal(size=(2, n, n)).astype(np.float32)
+        dirty = L + 1e6 * np.triu(np.ones((n, n), np.float32), 1)
+        for transpose in (False, True):
+            clean = np.asarray(
+                tri_solve128_vbatched(
+                    jnp.asarray(L), jnp.asarray(B), transpose=transpose,
+                    interpret=True,
+                )
+            )
+            got = np.asarray(
+                tri_solve128_vbatched(
+                    jnp.asarray(dirty), jnp.asarray(B), transpose=transpose,
+                    interpret=True,
+                )
+            )
+            assert np.allclose(got, clean)
+
+    def test_shape_guards(self):
+        from henbun_tpu.ops.pallas_solve import tri_solve128_vbatched
+
+        with pytest.raises(ValueError):
+            tri_solve128_vbatched(jnp.eye(8), jnp.zeros((8, 8)))
+        with pytest.raises(ValueError):
+            tri_solve128_vbatched(
+                jnp.zeros((2, 129, 129)), jnp.zeros((2, 129, 8))
+            )
+        with pytest.raises(ValueError, match="VMEM|batch"):
+            tri_solve128_vbatched(
+                jnp.zeros((200, 128, 128)), jnp.zeros((200, 128, 128))
+            )
+
+
 class TestSafeCholeskyDispatch:
     """safe_cholesky under vmap routes through _cholesky_dispatch; on the CPU
     test backend (or with use_pallas off) that is the XLA path — the contract
