@@ -26,9 +26,12 @@ Usage::
         model, gamma=0.1, rest=optax.adam(0.01)))
 
 Safety: a natural-gradient step can leave the PD cone (theta2 must stay
-negative-definite). Each node's update is guarded — if the new covariance
-fails its Cholesky, that node keeps its previous value for the step (the
-same philosophy as safe_cholesky's escalation).
+negative-definite). Each fullrank node's update RETRIES at gamma/8 then
+gamma/64 when the new covariance fails its Cholesky (a masked while_loop,
+zero iterations on the good path — safe_cholesky's escalation pattern);
+only if all three fail does the node keep its previous value. Plain
+keep-old-params latches: once q is near-singular every later step fails
+too and the node silently stops moving.
 
 Choosing gamma (measured, tests/test_natgrad.py):
   * deterministic/analytic ELBOs (closed-form expected loglik +
@@ -79,17 +82,47 @@ def _natgrad_full(mu, L, gmu, gL, gamma):
 
     Linv = _solve_tri_inv(L)
     P = Linv.T @ Linv  # Sigma^-1
-    t1 = P @ mu + gamma * deta1
-    t2 = -0.5 * P + gamma * deta2
 
-    Pn = -2.0 * t2
-    eps = 1e-6 * jnp.trace(Pn) / m  # scale-aware jitter for f32 inverses
-    Lp = jnp.linalg.cholesky(Pn + eps * I)  # NaN iff theta2 left the cone
-    Lpinv = _solve_tri_inv(Lp)
-    Sigma_new = Lpinv.T @ Lpinv
-    mu_new = Sigma_new @ t1
-    L_new = jnp.linalg.cholesky(Sigma_new)
-    ok = jnp.all(jnp.isfinite(mu_new)) & jnp.all(jnp.isfinite(L_new))
+    def attempt(g):
+        t1 = P @ mu + g * deta1
+        t2 = -0.5 * P + g * deta2
+        Pn = -2.0 * t2
+        eps = 1e-6 * jnp.trace(Pn) / m  # scale-aware jitter for f32 inverses
+        Lp = jnp.linalg.cholesky(Pn + eps * I)  # NaN iff theta2 left the cone
+        Lpinv = _solve_tri_inv(Lp)
+        Sigma_new = Lpinv.T @ Lpinv
+        mu_new = Sigma_new @ t1
+        L_new = jnp.linalg.cholesky(Sigma_new)
+        ok = jnp.all(jnp.isfinite(mu_new)) & jnp.all(jnp.isfinite(L_new))
+        return mu_new, L_new, ok
+
+    # PD-cone retry: a too-long natural step (gamma beyond the MC gradient's
+    # accuracy) makes theta2 leave the cone; freezing the node (the round-2
+    # behavior) can LATCH — once q is near-singular every later step fails
+    # its Cholesky and the optimizer silently stops moving that node
+    # (observed as a stuck ELBO plateau in the sharded natgrad test).
+    # Escalate like safe_cholesky instead: retry at gamma/8 and gamma/64 in
+    # a masked while_loop (zero iterations on the good path, select-safe
+    # under vmap), and only keep the old params if all three fail.
+    mu0, L0, ok0 = attempt(gamma)
+
+    def cond(carry):
+        _, _, ok, _, t = carry
+        return (~ok) & (t < 2)
+
+    def body(carry):
+        mu_n, L_n, ok, g, t = carry
+        g = g / 8.0
+        mu2, L2, ok2 = attempt(g)
+        mu_n = jnp.where(ok, mu_n, mu2)
+        L_n = jnp.where(ok, L_n, L2)
+        return (mu_n, L_n, ok | ok2, g, t + 1)
+
+    mu_new, L_new, ok, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (mu0, L0, ok0, jnp.asarray(gamma, mu.dtype), jnp.zeros((), jnp.int32)),
+    )
     return mu_new, L_new, ok
 
 

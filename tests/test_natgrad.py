@@ -89,6 +89,31 @@ class TestExactConjugateStep:
             np.asarray(L @ L.T), np.linalg.inv(np.asarray(A)), atol=1e-3
         )
 
+    def test_cone_exit_escalates_gamma_instead_of_freezing(self):
+        """A step whose theta2 leaves the PD cone must RETRY at gamma/8
+        (and gamma/64) rather than freeze the node: a frozen near-singular q
+        latches — every later step fails its Cholesky and the optimizer
+        silently stops moving that node (the round-2 divergence-then-plateau
+        failure in the sharded natgrad test)."""
+        m = 2
+        mu = jnp.zeros((m,), jnp.float32)
+        L = jnp.eye(m, dtype=jnp.float32)
+        gmu = jnp.zeros((m,), jnp.float32)
+        # At (mu=0, L=I): deta2 = 0.5*c*I for gL = c*I, so theta2_new =
+        # (-0.5 + 0.5*c*gamma) I — out of the cone at gamma=1, c=4; back in
+        # at gamma/8.
+        gL = 4.0 * jnp.eye(m, dtype=jnp.float32)
+        mu1, L1, ok = hopt._natgrad_full(mu, L, gmu, gL, gamma=1.0)
+        assert bool(ok)
+        assert np.isfinite(np.asarray(L1)).all()
+        # the escalated step IS the gamma/8 step (which succeeds first try)
+        mu_ref, L_ref, ok_ref = hopt._natgrad_full(mu, L, gmu, gL, gamma=0.125)
+        assert bool(ok_ref)
+        assert np.allclose(np.asarray(L1), np.asarray(L_ref))
+        assert np.allclose(np.asarray(mu1), np.asarray(mu_ref))
+        # and it actually moved (no silent freeze)
+        assert not np.allclose(np.asarray(L1), np.asarray(L))
+
 
 class AnalyticLinearVI(hb.model.Model):
     """Linear-Gaussian VI with a FULLY analytic ELBO: expected log-likelihood
