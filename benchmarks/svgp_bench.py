@@ -54,10 +54,17 @@ def main(argv=None):
     for objective in ["ELBO", "ELBO_analytic"]:
         m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=args.m)
         opt = getattr(m, objective)()
-        # natgrad gamma: ~0.01 is the stable ceiling on MC objectives; the
-        # deterministic analytic expectation takes 0.1 (CLAUDE.md / PERF.md)
-        gamma = 0.1 if objective == "ELBO_analytic" else 0.01
-        opt.compile(hopt.natural_gradient(m, gamma=gamma, rest=optax.adam(0.005)))
+        # Optimizer pairing validated at m=128 (CPU, n=20k, 4000 steps):
+        # MC ELBO + natgrad is NOT stable at this q(u) size (1-sample
+        # gradients on a fullrank 128x128 posterior NaN'd the TPU run) —
+        # Adam(0.02) converges to ELBO/n -0.26. The minibatch-deterministic
+        # analytic ELBO takes UNIT-gamma natgrad (conjugate given the batch)
+        # and reaches -0.238; intermediate gammas (0.1-0.3) stall at this m.
+        if objective == "ELBO_analytic":
+            tx = hopt.natural_gradient(m, gamma=1.0, rest=optax.adam(0.005))
+        else:
+            tx = optax.adam(0.02)
+        opt.compile(tx)
         note("%s: compiling + warming (n=%d, m=%d, B=%d)"
              % (objective, args.n, args.m, args.minibatch))
         opt.optimize(maxiter=args.steps, minibatch_size=args.minibatch,
@@ -74,8 +81,10 @@ def main(argv=None):
         print(json.dumps({
             "metric": "svgp_%s_steps_per_s" % objective.lower(),
             "value": round(steps_per_s, 1),
-            "unit": "steps/s/chip (n=%d, m=%d, B=%d, natgrad)"
-                    % (args.n, args.m, args.minibatch),
+            "unit": "steps/s/chip (n=%d, m=%d, B=%d, %s)"
+                    % (args.n, args.m, args.minibatch,
+                       "natgrad(1.0)+adam" if objective == "ELBO_analytic"
+                       else "adam"),
             "examples_per_s": round(steps_per_s * args.minibatch, 0),
             "elbo_tail_mean": round(elbo_tail, 1),
         }))
