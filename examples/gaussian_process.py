@@ -69,6 +69,19 @@ def main(argv=None):
     opt3.optimize(maxiter=max(800, args.iters // 20))
     print("robust ELBO (quadrature+natgrad):", float(opt3.run()))
 
+    # third route: LAPLACE — no variational posterior at all; train the
+    # hyperparameters on the Newton-mode evidence and read the latent
+    # posterior (mean AND variance) deterministically
+    m4 = models.GPR(seed=0, X=X, Y=Y_out)
+    opt4 = m4.log_marginal_laplace_student()
+    opt4.compile(optax.adam(0.02))
+    opt4.optimize(maxiter=max(600, args.iters // 20))
+    print("robust Laplace evidence:", float(opt4.run()))
+    grid = np.linspace(X.min(), X.max(), 100, dtype=np.float32)[:, None]
+    mean, var = m4.run(lambda mm: mm.predict_f_laplace(grid))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean)[:, 0] - np.sin(grid[:, 0])) ** 2)))
+    print("robust Laplace posterior-mean RMSE vs sin(x):", rmse)
+
 
 if __name__ == "__main__":
     main()

@@ -7,6 +7,7 @@ noise variance.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import henbun_tpu as hb
@@ -95,6 +96,73 @@ class GPR(hb.model.Model):
 
         ell = jnp.sum(gauss_hermite_expectation(log_lik, fmean[:, 0], fvar))
         return ell - self.KL()
+
+    @hb.AutoOptimize()
+    def log_marginal_laplace_student(self):
+        """Laplace evidence for the robust Student-t likelihood — the
+        deterministic alternative to both the MC `ELBO_student` (cells 28-31
+        of the reference notebook) and `ELBO_student_quadrature`: no
+        variational posterior to fit at all. Optimizing this trains ONLY the
+        hyperparameters (kernel, k_var, var); the latent posterior is the
+        Newton mode + curvature computed inside every step
+        (`inference/laplace.py`). Compile with plain Adam; q gets zero
+        gradients and stays put."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        res = laplace_whitened(
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+        )
+        return res.log_marginal
+
+    def laplace_student(self):
+        """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
+        current hyperparameters: evaluate with ``m.run(GPR.laplace_student)``
+        or call inside any traced method."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        return laplace_whitened(
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+        )
+
+    def predict_f_laplace(self, x_new):
+        """Laplace posterior marginals (mean [n*, 1], var [n*, 1]) of f at
+        new inputs, deterministic (no draws needed):
+
+            E[f*] = s A^T v_mode,  A = Lk^-1 K(X, x*),  s = sqrt(k_var)
+            V[f*] = s^2 (Kdiag(x*) - colnorm(A)^2 + colnorm(G)^2),
+            G = Lb^-1 A  (posterior-of-v part, B = Lb Lb^T from the mode)
+        """
+        from henbun_tpu.inference.laplace import laplace_whitened
+        from henbun_tpu.ops.linalg import safe_cholesky
+
+        s = jnp.sqrt(self.k_var)
+        Lk = self.kern.Cholesky(self.X) * s
+        res = laplace_whitened(
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+        )
+        Ks = self.kern.K(self.X, x_new) * self.k_var  # [n, n*]
+        A = jax.scipy.linalg.solve_triangular(Lk, Ks, lower=True)  # [n, n*]
+        mean = matmul_hp(jnp.swapaxes(A, -1, -2), res.v_mode)  # [n*, 1]
+        # curvature factor at the mode (recomputed: cheap next to the solve)
+        n = Lk.shape[-1]
+        I = jnp.eye(n, dtype=Lk.dtype)
+
+        def ll_sum(f):
+            return jnp.sum(densities.student_t(self.Y, f, self.var, 3.0))
+
+        W = -jax.grad(lambda x: jnp.sum(jax.grad(ll_sum)(x)))(res.f_mode)
+        B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
+        Lb = safe_cholesky(B, 1e-6)
+        G = jax.scipy.linalg.solve_triangular(Lb, A, lower=True)
+        prior_diag = self.kern.Kdiag(x_new) * self.k_var[0]  # [n*]
+        var = (
+            prior_diag
+            - jnp.sum(jnp.square(A), axis=0)
+            + jnp.sum(jnp.square(G), axis=0)
+        )[:, None]
+        return mean, var
 
     def _f_marginals(self):
         """Per-point Gaussian marginals of f under q: (mean [n, 1], var [n]),
