@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ._settings import settings
-from .ops.linalg import log_sum_exp
+from .ops.linalg import log_sum_exp, tri_solve
 
 
 def gaussian(x, mu, var):
@@ -80,7 +80,7 @@ def multivariate_normal(x, mu, L):
     the row count must match the size of L (cf. densities.py:75-91)."""
     d = x - mu
     d2 = d[:, None] if d.ndim == 1 else d
-    alpha = jax.scipy.linalg.solve_triangular(L, d2, lower=True)
+    alpha = tri_solve(L, d2)
     num_col = 1 if x.ndim == 1 else x.shape[1]
     num_dims = x.shape[0]
     ret = -0.5 * num_dims * num_col * np.log(2 * np.pi)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core import context as _ctx
 from ..core.param import Variable, Parameterized, graph_key
 from .._settings import settings
-from ..ops.linalg import eye, matmul_hp
+from ..ops.linalg import eye, matmul_hp, tri_solve
 
 
 def _float_type():
@@ -37,9 +37,7 @@ def whitened_conditional(kern, x_new, x, u, q_shape="diagonal"):
     assert q_shape in ["neglected", "diagonal", "fullrank"]
     ctx = _ctx.current()
     Lm = kern.Cholesky(x)  # [n, n]
-    LnT = jax.scipy.linalg.solve_triangular(
-        Lm, kern.K(x, x_new), lower=True
-    )  # [n, n*]
+    LnT = tri_solve(Lm, kern.K(x, x_new))  # [n, n*]
     samples = matmul_hp(u, LnT)  # [N, n] @ [n, n*] -> [N, n*]
     if q_shape == "neglected":
         return samples
@@ -151,11 +149,9 @@ class SparseGP(GP):
         x: [n, d] -> [m, n]; x: [N, n, d] -> [N, m, n]."""
         Lm = self.kern.Cholesky(self.z)  # [m, m]
         if x.ndim == 2:
-            return jax.scipy.linalg.solve_triangular(
-                Lm, self.kern.K(self.z, x), lower=True
-            )
+            return tri_solve(Lm, self.kern.K(self.z, x))
         if x.ndim == 3:
-            Lminv = jax.scipy.linalg.solve_triangular(Lm, eye(self.m), lower=True)
+            Lminv = tri_solve(Lm, eye(self.m))
             # broadcast z against the batch axis: [1,m,d] vs [N,n,d] -> [N,m,n]
             Kmn = self.kern.K(self.z[None, :, :], x)
             return matmul_hp(Lminv[None, :, :], Kmn)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 import henbun_tpu as hb
 from henbun_tpu import densities
-from henbun_tpu.ops.linalg import matmul_hp
+from henbun_tpu.ops.linalg import matmul_hp, tri_solve
 
 
 class GPR(hb.model.Model):
@@ -143,7 +143,7 @@ class GPR(hb.model.Model):
             lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
         )
         Ks = self.kern.K(self.X, x_new) * self.k_var  # [n, n*]
-        A = jax.scipy.linalg.solve_triangular(Lk, Ks, lower=True)  # [n, n*]
+        A = tri_solve(Lk, Ks)  # [n, n*]
         mean = matmul_hp(jnp.swapaxes(A, -1, -2), res.v_mode)  # [n*, 1]
         # curvature factor at the mode (recomputed: cheap next to the solve)
         n = Lk.shape[-1]
@@ -155,7 +155,7 @@ class GPR(hb.model.Model):
         W = -jax.grad(lambda x: jnp.sum(jax.grad(ll_sum)(x)))(res.f_mode)
         B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
         Lb = safe_cholesky(B, 1e-6)
-        G = jax.scipy.linalg.solve_triangular(Lb, A, lower=True)
+        G = tri_solve(Lb, A)
         prior_diag = self.kern.Kdiag(x_new) * self.k_var[0]  # [n*]
         var = (
             prior_diag
@@ -245,8 +245,8 @@ class GPRMarginal(hb.model.Model):
         # A = L^-1 Kn*  -> mean = A^T (L^-1 y), cov_diag = k** - sum A^2
         import jax
 
-        A = jax.scipy.linalg.solve_triangular(L, Ksn.T, lower=True)  # [n, n*]
-        alpha = jax.scipy.linalg.solve_triangular(L, self.Y, lower=True)
+        A = tri_solve(L, Ksn.T)  # [n, n*]
+        alpha = tri_solve(L, self.Y)
         mean = A.T @ alpha  # [n*, 1]
         kss = self.k_var * self.kern.Kdiag(jnp.asarray(x_new))  # [n*]
         var = jnp.maximum(kss - jnp.sum(jnp.square(A), axis=0), 0.0)

@@ -178,13 +178,16 @@ def _tri_solve_T_dispatch(L, B):
     return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1)
 
 
-@_tri_solve_T_dispatch.def_vmap
-def _tri_solve_T_dispatch_vmap(axis_size, in_batched, L, B):
+def _solve_vmap_rule(axis_size, in_batched, L, B, transpose):
+    """Shared batching rule for the solve dispatches: broadcast any unbatched
+    operand, then take the Pallas vectorized-batch kernel when eligible."""
     l_batched, b_batched = in_batched
+    if not l_batched:
+        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
+    if not b_batched:
+        B = jnp.broadcast_to(B[None], (axis_size,) + B.shape)
     use_pallas = (
-        l_batched
-        and b_batched
-        and bool(settings.tpu.use_pallas)
+        bool(settings.tpu.use_pallas)
         and L.ndim == 3
         and L.dtype == jnp.float32
         and L.shape[-1] <= 128
@@ -195,12 +198,62 @@ def _tri_solve_T_dispatch_vmap(axis_size, in_batched, L, B):
     if use_pallas:
         from .pallas_solve import tri_solve128_vbatched
 
-        return tri_solve128_vbatched(L, B, transpose=True), True
-    if not l_batched:
-        L = jnp.broadcast_to(L[None], (axis_size,) + L.shape)
-    if not b_batched:
-        B = jnp.broadcast_to(B[None], (axis_size,) + B.shape)
-    return jax.scipy.linalg.solve_triangular(L, B, lower=True, trans=1), True
+        return tri_solve128_vbatched(L, B, transpose=transpose), True
+    return (
+        jax.scipy.linalg.solve_triangular(
+            L, B, lower=True, trans=1 if transpose else 0
+        ),
+        True,
+    )
+
+
+@_tri_solve_T_dispatch.def_vmap
+def _tri_solve_T_dispatch_vmap(axis_size, in_batched, L, B):
+    return _solve_vmap_rule(axis_size, in_batched, L, B, True)
+
+
+@jax.custom_batching.custom_vmap
+def _tri_solve_L_dispatch(L, B):
+    """X with L X = B (forward substitution) — same dispatch contract as
+    `_tri_solve_T_dispatch` with the non-transposed kernel."""
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+
+
+@_tri_solve_L_dispatch.def_vmap
+def _tri_solve_L_dispatch_vmap(axis_size, in_batched, L, B):
+    return _solve_vmap_rule(axis_size, in_batched, L, B, False)
+
+
+@jax.custom_vjp
+def tri_solve(L, B):
+    """X = L^-1 B for lower-triangular L — the library-wide solve.
+
+    Reads only L's lower triangle. Under vmap with `[tpu] use_pallas` on,
+    both the forward solve and the two solves of its gradient take the
+    Pallas vectorized-batch kernels (3.2-4.4x over XLA's batched solve,
+    benchmarks/solve_bench.py) — this is what makes batched SVGP / natgrad /
+    GP-prediction traces fast, not just the Cholesky itself. Reverse-mode
+    only, like `safe_cholesky` (nothing in the library forward-differentiates
+    a solve)."""
+    return _tri_solve_L_dispatch(L, B)
+
+
+def _tri_solve_fwd(L, B):
+    X = _tri_solve_L_dispatch(L, B)
+    return X, (L, X)
+
+
+def _tri_solve_bwd(res, Xbar):
+    """Bbar = L^-T Xbar; Lbar = -tril(Bbar X^T) (the solve reads only the
+    lower triangle, so the cotangent lands only there — matching XLA's
+    triangular_solve gradient)."""
+    L, X = res
+    Bbar = _tri_solve_T_dispatch(L, Xbar)
+    Lbar = -jnp.tril(matmul_hp(Bbar, jnp.swapaxes(X, -1, -2)))
+    return Lbar, Bbar
+
+
+tri_solve.defvjp(_tri_solve_fwd, _tri_solve_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -52,12 +52,12 @@ import jax.numpy as jnp
 import optax
 
 from .variationals import Variational
-from .ops.linalg import fill_triangular, fill_triangular_inverse
+from .ops.linalg import fill_triangular, fill_triangular_inverse, tri_solve
 
 
 def _solve_tri_inv(L):
     I = jnp.eye(L.shape[-1], dtype=L.dtype)
-    return jax.scipy.linalg.solve_triangular(L, I, lower=True)
+    return tri_solve(L, I)
 
 
 def _natgrad_full(mu, L, gmu, gL, gamma):

@@ -158,6 +158,67 @@ class TestPallasTriSolve:
             )
 
 
+class TestTriSolve:
+    """`ops.linalg.tri_solve` — the library-wide dispatched lower solve
+    (custom_vjp; forward and gradient solves both take the Pallas kernels on
+    batched TPU traces). On the CPU backend it must be exactly XLA's
+    triangular_solve in value and gradient, single and vmapped."""
+
+    def test_value_and_grad_match_xla(self):
+        from henbun_tpu.ops.linalg import tri_solve
+
+        n = 12
+        L = jnp.asarray(
+            np.tril(RNG.normal(size=(n, n))).astype(np.float32)
+            + n * np.eye(n, dtype=np.float32)
+        )
+        B = jnp.asarray(RNG.normal(size=(n, 5)).astype(np.float32))
+        ref_fn = lambda l, b: jax.scipy.linalg.solve_triangular(l, b, lower=True)
+        assert np.allclose(tri_solve(L, B), ref_fn(L, B), atol=1e-5)
+        for arg in (0, 1):
+            g = jax.grad(lambda l, b: jnp.sum(jnp.sin(tri_solve(l, b))), arg)(L, B)
+            gr = jax.grad(lambda l, b: jnp.sum(jnp.sin(ref_fn(l, b))), arg)(L, B)
+            # XLA's rule may leave the untouched triangle unmasked; compare
+            # the lower part (the only part a triangular solve reads)
+            assert np.allclose(np.tril(g), np.tril(gr), atol=1e-4), arg
+
+    def test_vmapped_value_and_grad(self):
+        from henbun_tpu.ops.linalg import tri_solve
+
+        n, Bt = 9, 4
+        L = jnp.asarray(
+            np.tril(RNG.normal(size=(Bt, n, n))).astype(np.float32)
+            + n * np.eye(n, dtype=np.float32)
+        )
+        B = jnp.asarray(RNG.normal(size=(Bt, n, n)).astype(np.float32))
+        got = jax.vmap(tri_solve)(L, B)
+        ref = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        assert np.allclose(got, ref, atol=1e-5)
+        g = jax.vmap(jax.grad(lambda l, b: jnp.sum(tri_solve(l, b) ** 2)))(L, B)
+        gr = jax.vmap(
+            jax.grad(
+                lambda l, b: jnp.sum(
+                    jax.scipy.linalg.solve_triangular(l, b, lower=True) ** 2
+                )
+            )
+        )(L, B)
+        assert np.allclose(np.tril(g), np.tril(gr), atol=2e-4)
+
+    def test_unbatched_rhs_under_vmap(self):
+        """vmap over L only (shared RHS) broadcasts inside the dispatch."""
+        from henbun_tpu.ops.linalg import tri_solve
+
+        n, Bt = 8, 3
+        L = jnp.asarray(
+            np.tril(RNG.normal(size=(Bt, n, n))).astype(np.float32)
+            + n * np.eye(n, dtype=np.float32)
+        )
+        I = jnp.eye(n)
+        got = jax.vmap(lambda l: tri_solve(l, I))(L)
+        ref = jax.scipy.linalg.solve_triangular(L, jnp.broadcast_to(I, L.shape), lower=True)
+        assert np.allclose(got, ref, atol=1e-5)
+
+
 class TestSafeCholeskyDispatch:
     """safe_cholesky under vmap routes through _cholesky_dispatch; on the CPU
     test backend (or with use_pallas off) that is the XLA path — the contract
