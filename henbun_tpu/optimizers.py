@@ -52,7 +52,12 @@ import jax.numpy as jnp
 import optax
 
 from .variationals import Variational
-from .ops.linalg import fill_triangular, fill_triangular_inverse, tri_solve
+from .ops.linalg import (
+    _cholesky_dispatch,
+    fill_triangular,
+    fill_triangular_inverse,
+    tri_solve,
+)
 
 
 def _solve_tri_inv(L):
@@ -88,11 +93,14 @@ def _natgrad_full(mu, L, gmu, gL, gamma):
         t2 = -0.5 * P + g * deta2
         Pn = -2.0 * t2
         eps = 1e-6 * jnp.trace(Pn) / m  # scale-aware jitter for f32 inverses
-        Lp = jnp.linalg.cholesky(Pn + eps * I)  # NaN iff theta2 left the cone
+        # _cholesky_dispatch (not safe_cholesky): NaN-on-cone-exit is the
+        # guard signal here, escalation would mask it; batched natgrad traces
+        # still get the Pallas kernel through the dispatch
+        Lp = _cholesky_dispatch(Pn + eps * I)  # NaN iff theta2 left the cone
         Lpinv = _solve_tri_inv(Lp)
         Sigma_new = Lpinv.T @ Lpinv
         mu_new = Sigma_new @ t1
-        L_new = jnp.linalg.cholesky(Sigma_new)
+        L_new = _cholesky_dispatch(Sigma_new)
         ok = jnp.all(jnp.isfinite(mu_new)) & jnp.all(jnp.isfinite(L_new))
         return mu_new, L_new, ok
 
@@ -128,22 +136,36 @@ def _natgrad_full(mu, L, gmu, gL, gamma):
 
 def _natgrad_diag(mu, s, gmu, gs, gamma):
     """Elementwise natural-gradient step for a diagonal Gaussian with
-    log-std parameterization s (Sigma = diag(exp(2 s)))."""
+    log-std parameterization s (Sigma = diag(exp(2 s))).
+
+    Same PD-cone escalation as the fullrank step, elementwise: a coordinate
+    whose theta2 leaves the cone retries at gamma/8 then gamma/64 (cheap —
+    three scalar candidates, select the first valid) instead of freezing,
+    which latches just like the fullrank case once a coordinate's variance
+    estimate is bad."""
     var = jnp.exp(2.0 * s)
     deta1 = gmu - gs * mu / var
     deta2 = gs / (2.0 * var)
-    t1 = mu / var + gamma * deta1
-    t2 = -0.5 / var + gamma * deta2
-    var_new = -0.5 / t2
-    mu_new = t1 * var_new
-    s_new = 0.5 * jnp.log(var_new)
-    ok = (t2 < 0) & jnp.isfinite(mu_new) & jnp.isfinite(s_new)
-    # elementwise guard (diagonal coordinates are independent)
-    return (
-        jnp.where(ok, mu_new, mu),
-        jnp.where(ok, s_new, s),
-        jnp.array(True),
-    )
+
+    def attempt(g):
+        t1 = mu / var + g * deta1
+        t2 = -0.5 / var + g * deta2
+        var_new = -0.5 / t2
+        mu_new = t1 * var_new
+        s_new = 0.5 * jnp.log(var_new)
+        ok = (t2 < 0) & jnp.isfinite(mu_new) & jnp.isfinite(s_new)
+        return mu_new, s_new, ok
+
+    mu_new = mu
+    s_new = s
+    done = jnp.zeros(mu.shape, bool)
+    for g in (gamma, gamma / 8.0, gamma / 64.0):
+        mu_g, s_g, ok = attempt(g)
+        take = ok & ~done
+        mu_new = jnp.where(take, mu_g, mu_new)
+        s_new = jnp.where(take, s_g, s_new)
+        done = done | ok
+    return mu_new, s_new, jnp.array(True)
 
 
 def _batched(fn, mu, q, gmu, gq, gamma, matrix):
