@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.param import graph_key
+from ..batched import BatchedOptimizer
 from ..model import Optimizer, _resolve_method
 from . import mesh as mesh_mod
 
@@ -175,3 +176,90 @@ class ShardedOptimizer(Optimizer):
             return d, k_s
 
         return select
+
+
+class ShardedBatchedOptimizer(BatchedOptimizer):
+    """N independent model fits sharded over the mesh — multi-chip
+    multi-model training.
+
+    `BatchedOptimizer` stacks N structurally-identical models on a leading
+    axis and advances all fits in one program on ONE chip; this subclass
+    shards that model axis over the mesh's ``chain`` axis (the mesh axis for
+    independent parallel units — MCMC chains, SMC particles, and now whole
+    model replicas). The workload is embarrassingly parallel: every leaf of
+    the stacked parameter/optimizer/data trees is sharded on the model axis,
+    each device steps its own N/n_chain fits locally, and the ONLY collective
+    GSPMD inserts is the all-reduce of the per-step summed-objective scalar
+    for the history (asserted on lowered HLO in tests/test_parallel.py).
+
+    The reference is single-device (SURVEY.md §2.6); this is the scaling
+    story for its 'n_layers' many-fits idiom: 16 fits per chip x a pod
+    slice's worth of chips.
+    """
+
+    def __init__(self, models, likelihood_method, mesh=None):
+        super().__init__(models, likelihood_method)
+        self.mesh = (
+            mesh
+            if mesh is not None
+            else mesh_mod.make_mesh(n_data=1, n_chain=len(jax.devices()))
+        )
+        n_chain = int(self.mesh.shape[mesh_mod.CHAIN_AXIS])
+        if len(models) % n_chain:
+            raise ValueError(
+                "model count %d must divide evenly over the mesh 'chain' "
+                "axis (%d devices)" % (len(models), n_chain)
+            )
+
+    # -------------------------------------------------------------- sharding
+    def _model_axis(self):
+        return NamedSharding(self.mesh, P(mesh_mod.CHAIN_AXIS))
+
+    def _repl(self):
+        return NamedSharding(self.mesh, P())
+
+    def _leaf_sharding(self, leaf):
+        """Model-axis sharding for stacked leaves, replication for scalars
+        (e.g. optax step counts)."""
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == len(self.models):
+            return self._model_axis()
+        return self._repl()
+
+    # ------------------------------------------------------- Optimizer hooks
+    def _place(self, tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self._leaf_sharding(jnp.asarray(a))),
+            tree,
+        )
+
+    def _place_data(self, path, arr):
+        return jax.device_put(arr, self._model_axis())
+
+    def _jit_chunk(self, chunk):
+        tree_sh = lambda tree: jax.tree_util.tree_map(self._leaf_sharding, tree)
+        data_sh = {k: self._model_axis() for k in self._data_args()}
+        repl = self._repl()
+        return jax.jit(
+            chunk,
+            in_shardings=(
+                tree_sh(self._trainable),
+                tree_sh(self.opt_state),
+                tree_sh(self._frozen),
+                data_sh,
+                repl,
+                repl,
+            ),
+            out_shardings=(
+                tree_sh(self._trainable),
+                tree_sh(self.opt_state),
+                repl,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def compile(self, *args, **kwargs):
+        super().compile(*args, **kwargs)
+        self._trainable = self._place(self._trainable)
+        self._frozen = self._place(self._frozen)
+        self.opt_state = self._place(self.opt_state)
+        return self

@@ -256,3 +256,73 @@ def test_sharded_chunk_hlo_collectives():
     local_rows = mb // 8
     for l in reduce_lines:
         assert f"[{mb}," not in l and f"[{local_rows}," not in l, l
+
+
+class TestShardedBatchedOptimizer:
+    """N independent fits sharded over the mesh 'chain' axis: must equal the
+    single-chip BatchedOptimizer run (same seeds) up to the sharded scalar
+    reduce's fp reassociation, with NO data-moving collectives in the HLO."""
+
+    @staticmethod
+    def _build():
+        ms = []
+        for i in range(8):
+            X, Y = models.make_sine_dataset(n=24, seed=i)
+            ms.append(models.GPR(seed=i, X=X, Y=Y))
+        return ms
+
+    def test_matches_unsharded_batched(self):
+        from henbun_tpu.batched import BatchedOptimizer
+        from henbun_tpu.parallel import ShardedBatchedOptimizer
+
+        hb.set_seed(0)
+        b1 = BatchedOptimizer(self._build(), "ELBO_gaussian")
+        b1.compile(optax.adam(0.01))
+        b1.optimize(maxiter=200)
+        h1 = np.concatenate(b1.history)
+
+        hb.set_seed(0)
+        mesh = make_mesh(n_data=1, n_chain=8)
+        b2 = ShardedBatchedOptimizer(self._build(), "ELBO_gaussian", mesh=mesh)
+        b2.compile(optax.adam(0.01))
+        # the stacked trainable tree is genuinely sharded on the model axis
+        leaf = next(iter(b2._trainable.values()))
+        assert not leaf.sharding.is_fully_replicated
+        b2.optimize(maxiter=200)
+        h2 = np.concatenate(b2.history)
+        assert np.allclose(h1, h2, rtol=2e-3)
+        # per-model committed parameters match the single-chip run (absolute
+        # tolerance in free space: 200 Adam steps amplify the reduce's fp
+        # reassociation, so trajectories agree only to ~1e-3 there)
+        for m1, m2 in zip(b1.models, b2.models):
+            p1, p2 = m1.param_dict(), m2.param_dict()
+            for k in p1:
+                assert np.allclose(p1[k], p2[k], atol=2e-3), k
+
+    def test_hlo_has_no_data_moving_collectives(self):
+        """Embarrassing parallelism contract: the compiled chunk may
+        all-reduce the per-step objective SCALAR, but must not all-gather or
+        all-to-all any stacked tensor."""
+        from henbun_tpu.parallel import ShardedBatchedOptimizer
+
+        hb.set_seed(0)
+        mesh = make_mesh(n_data=1, n_chain=8)
+        bo = ShardedBatchedOptimizer(self._build(), "ELBO_gaussian", mesh=mesh)
+        bo.compile(optax.adam(0.01))
+        fn = bo._get_chunk(None, 20, None)
+        keys = jax.random.split(jax.random.PRNGKey(0), 20)
+        idx = jnp.zeros((1,), jnp.int32)
+        txt = fn.lower(
+            bo._trainable, bo.opt_state, bo._frozen, bo._data_args(), keys, idx
+        ).compile().as_text()
+        assert "all-gather" not in txt
+        assert "all-to-all" not in txt
+
+    def test_model_count_must_divide_mesh(self):
+        from henbun_tpu.parallel import ShardedBatchedOptimizer
+
+        ms = self._build()[:6]
+        with pytest.raises(ValueError, match="divide"):
+            ShardedBatchedOptimizer(
+                ms, "ELBO_gaussian", mesh=make_mesh(n_data=1, n_chain=8)
+            )
