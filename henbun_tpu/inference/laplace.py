@@ -146,3 +146,38 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6):
         log_marginal=log_marginal,
         grad_norm=jnp.linalg.norm(grad_psi),
     )
+
+
+def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):
+    """Predictive latent marginals (mean [n*, 1], var [n*, 1]) at new inputs
+    under a Laplace posterior.
+
+    res: a :class:`LaplaceResult` for (loglik_fn, Lk); Ks: prior cross
+    covariance cov(f, f*) [n, n*]; kdiag: prior variances at the new inputs
+    [n*]. With A = Lk^-1 Ks and B = I + Lk^T W Lk (W the true mode
+    curvature):
+
+        E[f*] = A^T v_mode
+        V[f*] = kdiag - colnorm(A)^2 + colnorm(Lb^-1 A)^2
+
+    (prior minus the conditioning gain plus the posterior-of-v part).
+    Shared by `GPR.predict_f_laplace` and `GPC.predict_p`.
+    """
+    from ..ops.linalg import safe_cholesky, tri_solve
+
+    n = Lk.shape[-1]
+    I = jnp.eye(n, dtype=Lk.dtype)
+    A = tri_solve(Lk, Ks)  # [n, n*]
+    mean = matmul_hp(jnp.swapaxes(A, -1, -2), res.v_mode)  # [n*, 1]
+
+    def ll_sum(f):
+        return jnp.sum(loglik_fn(f))
+
+    W = -jax.grad(lambda x: jnp.sum(jax.grad(ll_sum)(x)))(res.f_mode)
+    B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
+    Lb = safe_cholesky(B, jitter)
+    G = tri_solve(Lb, A)
+    var = (
+        kdiag - jnp.sum(jnp.square(A), axis=0) + jnp.sum(jnp.square(G), axis=0)
+    )[:, None]
+    return mean, var

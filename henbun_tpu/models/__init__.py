@@ -8,3 +8,4 @@ from .linear import VariationalLinearModel, MAPLinearModel, make_linear_dataset
 from .amortized import AmortizedRegression, make_synthetic_regression
 from .bnn import BNN, VariationalBNN, make_bnn_dataset
 from .svgp import SVGPRegression, SVGPClassification
+from .gpc import GPC

@@ -134,35 +134,17 @@ class GPR(hb.model.Model):
             V[f*] = s^2 (Kdiag(x*) - colnorm(A)^2 + colnorm(G)^2),
             G = Lb^-1 A  (posterior-of-v part, B = Lb Lb^T from the mode)
         """
-        from henbun_tpu.inference.laplace import laplace_whitened
-        from henbun_tpu.ops.linalg import safe_cholesky
-
-        s = jnp.sqrt(self.k_var)
-        Lk = self.kern.Cholesky(self.X) * s
-        res = laplace_whitened(
-            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+        from henbun_tpu.inference.laplace import (
+            laplace_latent_marginals,
+            laplace_whitened,
         )
+
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        loglik = lambda f: densities.student_t(self.Y, f, self.var, 3.0)
+        res = laplace_whitened(loglik, Lk)
         Ks = self.kern.K(self.X, x_new) * self.k_var  # [n, n*]
-        A = tri_solve(Lk, Ks)  # [n, n*]
-        mean = matmul_hp(jnp.swapaxes(A, -1, -2), res.v_mode)  # [n*, 1]
-        # curvature factor at the mode (recomputed: cheap next to the solve)
-        n = Lk.shape[-1]
-        I = jnp.eye(n, dtype=Lk.dtype)
-
-        def ll_sum(f):
-            return jnp.sum(densities.student_t(self.Y, f, self.var, 3.0))
-
-        W = -jax.grad(lambda x: jnp.sum(jax.grad(ll_sum)(x)))(res.f_mode)
-        B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
-        Lb = safe_cholesky(B, 1e-6)
-        G = tri_solve(Lb, A)
-        prior_diag = self.kern.Kdiag(x_new) * self.k_var[0]  # [n*]
-        var = (
-            prior_diag
-            - jnp.sum(jnp.square(A), axis=0)
-            + jnp.sum(jnp.square(G), axis=0)
-        )[:, None]
-        return mean, var
+        kdiag = self.kern.Kdiag(x_new) * self.k_var[0]  # [n*]
+        return laplace_latent_marginals(loglik, Lk, res, Ks, kdiag)
 
     def _f_marginals(self):
         """Per-point Gaussian marginals of f under q: (mean [n, 1], var [n]),
