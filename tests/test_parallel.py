@@ -326,3 +326,36 @@ class TestShardedBatchedOptimizer:
             ShardedBatchedOptimizer(
                 ms, "ELBO_gaussian", mesh=make_mesh(n_data=1, n_chain=8)
             )
+
+    def test_sharded_batched_save_restore_bitwise(self, tmp_path):
+        """save_state mid-run with the MODEL-axis-sharded stacked state,
+        restore into a fresh ShardedBatchedOptimizer, continue: bitwise-equal
+        parameters for every model in the fleet."""
+        from henbun_tpu.parallel import ShardedBatchedOptimizer
+
+        def fresh():
+            hb.set_seed(0)
+            ms = self._build()
+            bo = ShardedBatchedOptimizer(
+                ms, "ELBO_gaussian", mesh=make_mesh(n_data=1, n_chain=8)
+            )
+            bo.compile(optax.adam(0.01))
+            return ms, bo
+
+        path = str(tmp_path / "sb_state")
+        ms1, b1 = fresh()
+        b1.optimize(maxiter=60)
+        b1.save_state(path)
+        b1.optimize(maxiter=60)
+        final1 = [
+            {k: np.asarray(v) for k, v in m.param_dict().items()} for m in ms1
+        ]
+
+        ms2, b2 = fresh()
+        b2.restore_state(path)
+        assert b2.global_step == 60
+        b2.optimize(maxiter=60)
+        for m1p, m2 in zip(final1, ms2):
+            p2 = m2.param_dict()
+            for k in m1p:
+                assert np.array_equal(m1p[k], np.asarray(p2[k])), k
