@@ -137,6 +137,73 @@ class TestStudentT:
             assert np.isfinite(float(r.log_marginal))
             assert float(r.grad_norm) < 1.0
 
+    @pytest.mark.slow
+    def test_bayesian_hyperparameters_over_laplace_marginal(self):
+        """GPML ch. 5 composition: the Laplace evidence is a differentiable
+        log-density of the hyperparameters, so the SAMPLERS can target it —
+        p(theta | y) ~ exp(evidence(theta)) p(theta). Every chain's log-prob
+        gradient flows through the unrolled Newton loop under vmap (the
+        batched safe_cholesky/tri_solve dispatch path). Gate: chains mix
+        (R-hat) and the posterior mass covers the ML-II point estimate."""
+        from henbun_tpu.inference import sample_posterior
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        X, y = _toy(n=24, outliers=2, seed=5)
+
+        class RobustEvidence(hb.model.Model):
+            def setUp(self, X, Y):
+                self.X = hb.Data(X)
+                self.Y = hb.Data(Y)
+                self.kern = hb.gp.kernels.UnitRBF()
+                self.k_var = hb.Variable(
+                    shape=[1], transform=hb.transforms.positive
+                )
+                self.var = hb.Variable(
+                    shape=[1], transform=hb.transforms.positive
+                )
+
+            @hb.AutoOptimize()
+            def log_post(self):
+                Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+                ev = laplace_whitened(
+                    lambda f: densities.student_t(self.Y, f, self.var, 3.0),
+                    Lk,
+                ).log_marginal
+                # weak lognormal priors keep the target proper
+                prior = (
+                    jnp.sum(densities.lognormal(self.k_var, 0.0, 4.0))
+                    + jnp.sum(densities.lognormal(self.var, 0.0, 4.0))
+                    + jnp.sum(
+                        densities.lognormal(self.kern.lengthscales, 0.0, 4.0)
+                    )
+                )
+                return ev + prior
+
+        # ML-II point estimate for reference
+        m_ml = RobustEvidence(seed=0, X=X, Y=y)
+        o = m_ml.log_post()
+        o.compile(optax.adam(0.02))
+        o.optimize(maxiter=600)
+        ml = {
+            "k_var": float(np.asarray(m_ml.k_var.value)[0]),
+            "var": float(np.asarray(m_ml.var.value)[0]),
+            "ls": float(np.asarray(m_ml.kern.lengthscales.value)[0]),
+        }
+
+        m = RobustEvidence(seed=1, X=X, Y=y)
+        res, post, diag = sample_posterior(
+            m, "log_post", num_chains=8, num_samples=300, num_warmup=300,
+            sampler="chees", return_diagnostics=True,
+            key=jax.random.PRNGKey(2),
+        )
+        assert diag["rhat_max"] < 1.1
+        assert np.isfinite(post["var"]).all()
+        for name, path in (("k_var", "k_var"), ("var", "var"),
+                           ("ls", "kern.lengthscales")):
+            draws = np.asarray(post[path]).reshape(-1)
+            lo, hi = np.quantile(draws, [0.02, 0.98])
+            assert lo <= ml[name] <= hi, (name, ml[name], lo, hi)
+
     def test_predict_f_laplace(self):
         """Deterministic prediction: interpolates the clean sine away from
         outliers, with positive variances that grow off-data."""
