@@ -20,6 +20,7 @@ TINY_ARGV = {
     "hmc_bnn": ["--chains", "8", "--samples", "50", "--warmup", "50"],
     "smc_tomography": ["--grid", "4", "--particles", "512"],
     "svgp_natgrad": ["--n", "2048", "--iters", "150"],
+    "fleet": ["--models", "8", "--n", "24", "--iters", "200"],
 }
 
 
