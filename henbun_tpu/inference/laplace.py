@@ -7,10 +7,12 @@ the posterior by the Gaussian with the mode's curvature (GPML ch. 3.4,
 PAPERS.md). Everything is a single XLA program: the Newton loop is a
 `lax.scan` with a STATIC trip count (TPU-friendly — no data-dependent
 control flow under jit), each iteration one `safe_cholesky` + two
-triangular solves, and hyperparameter gradients flow by plain reverse-mode
-through the unrolled iterations (at a converged mode this equals the
-implicit-function-theorem gradient, third-derivative terms included —
-GPML eq. 5.22-5.23 hand-derives what autodiff gets for free here).
+triangular solves, and hyperparameter gradients come from the implicit
+function theorem at the mode (one extra factorization in the backward;
+GPML eq. 5.22-5.23's third-derivative terms fall out of the vjp of the
+fixed-point map automatically). `implicit_diff=False` differentiates
+through the unrolled iterations instead — the two agree at convergence,
+pinned by a test.
 
 Whitened formulation (matches the library's GP parameterization,
 `models/gpr.py`): f = Lk v with v ~ N(0, I) and Lk the (scaled) Cholesky
@@ -37,6 +39,7 @@ this is a north-star addition.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,38 +70,32 @@ def _psi_parts(loglik_fn, Lk, v):
     return ll - 0.5 * jnp.sum(v * v), f
 
 
-def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6):
-    """Laplace approximation of the latent posterior for f = Lk v.
+def _ll_sum(loglik_fn):
+    return lambda f: jnp.sum(loglik_fn(f))
 
-    loglik_fn: f [n, 1] -> elementwise log-likelihood [n, 1] (twice
-    differentiable; summed internally). Lk: [n, n] lower factor of the
-    (scaled) prior covariance, i.e. cov(f) = Lk Lk^T.
 
-    Returns a :class:`LaplaceResult`. Differentiable w.r.t. everything
-    `loglik_fn` and `Lk` close over (kernel hyperparameters, likelihood
-    scales) by reverse-mode through the unrolled Newton loop.
-    """
+def _curvature(loglik_fn, f):
+    """-d2 loglik / df^2, [n, 1] — diagonal because the likelihood
+    factorizes over datapoints, so grad-of-sum-of-grads recovers it
+    exactly."""
+    ll_sum = _ll_sum(loglik_fn)
+
+    def g_sum(x):
+        return jnp.sum(jax.grad(ll_sum)(x))
+
+    return -jax.grad(g_sum)(f)
+
+
+def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
+    """The damped saddle-free Newton scan; returns v_star [n, 1]."""
     n = Lk.shape[-1]
     I = jnp.eye(n, dtype=Lk.dtype)
-
-    def ll_sum(f):
-        return jnp.sum(loglik_fn(f))
-
-    grad_f = jax.grad(ll_sum)
-
-    # second derivative of the elementwise log-likelihood via two grads of
-    # the summed objective: d2/df2 is diagonal because the likelihood
-    # factorizes over datapoints, so grad-of-sum-of-grads recovers it exactly
-    def curvature(f):
-        def g_sum(x):
-            return jnp.sum(jax.grad(ll_sum)(x))
-
-        return -jax.grad(g_sum)(f)  # [n, 1] = -d2 loglik / df^2
+    grad_f = jax.grad(_ll_sum(loglik_fn))
 
     def step(v, _):
         psi0, f = _psi_parts(loglik_fn, Lk, v)
         g = grad_f(f)
-        W = jnp.abs(curvature(f))  # saddle-free: PD with the right scale
+        W = jnp.abs(_curvature(loglik_fn, f))  # saddle-free: PD, right scale
         grad_psi = matmul_hp(jnp.swapaxes(Lk, -1, -2), g) - v  # [n, 1]
         # B = I + Lk^T |W| Lk, PD by construction
         WLk = W * Lk  # rows scaled: (W Lk)_ij = W_i Lk_ij
@@ -121,6 +118,89 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6):
 
     v0 = jnp.zeros((n, 1), Lk.dtype)
     v_star, _ = jax.lax.scan(step, v0, None, length=newton_iters)
+    return v_star
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _newton_mode_implicit(loglik_conv, newton_iters, jitter, Lk, consts):
+    """Newton mode with IMPLICIT differentiation (the fixed point
+    F(v) = Lk^T grad_loglik(Lk v) - v = 0 defines dv*/dtheta): the backward
+    pays ONE factorization + two solves instead of reverse-mode through all
+    newton_iters unrolled iterations — which issues ~7 small kernels per
+    iteration and dominated batched evidence training (docs/PERF.md
+    §Laplace). `loglik_conv(f, *consts)` is the closure-converted
+    likelihood."""
+    return _newton_iterations(
+        lambda f: loglik_conv(f, *consts), Lk, newton_iters, jitter
+    )
+
+
+def _newton_mode_fwd(loglik_conv, newton_iters, jitter, Lk, consts):
+    v = _newton_mode_implicit(loglik_conv, newton_iters, jitter, Lk, consts)
+    return v, (Lk, consts, v)
+
+
+def _newton_mode_bwd(loglik_conv, newton_iters, jitter, res, vbar):
+    """Implicit-function-theorem VJP at the mode: dF/dv = -(I + Lk^T W Lk)
+    = -B with the TRUE curvature W, so vbar^T dv*/da = w^T dF/da with
+    B w = vbar (B symmetric PD at a genuine mode)."""
+    from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
+
+    Lk, consts, v = res
+    loglik_fn = lambda f: loglik_conv(f, *consts)
+    f = matmul_hp(Lk, v)
+    W = _curvature(loglik_fn, f)
+    n = Lk.shape[-1]
+    I = jnp.eye(n, dtype=Lk.dtype)
+    B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
+    Lb = safe_cholesky(B, jitter)
+    w = _tri_solve_T_dispatch(Lb, tri_solve(Lb, vbar))  # B^-1 vbar
+
+    def F(Lk_, consts_):
+        f_ = matmul_hp(Lk_, v)
+        g_ = jax.grad(lambda ff: jnp.sum(loglik_conv(ff, *consts_)))(f_)
+        return matmul_hp(jnp.swapaxes(Lk_, -1, -2), g_) - v
+
+    _, vjpF = jax.vjp(F, Lk, consts)
+    Lk_bar, consts_bar = vjpF(w)
+    return Lk_bar, consts_bar
+
+
+_newton_mode_implicit.defvjp(_newton_mode_fwd, _newton_mode_bwd)
+
+
+def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
+                     implicit_diff=True):
+    """Laplace approximation of the latent posterior for f = Lk v.
+
+    loglik_fn: f [n, 1] -> elementwise log-likelihood [n, 1] (twice
+    differentiable; summed internally). Lk: [n, n] lower factor of the
+    (scaled) prior covariance, i.e. cov(f) = Lk Lk^T.
+
+    Returns a :class:`LaplaceResult`. Differentiable w.r.t. everything
+    `loglik_fn` and `Lk` close over (kernel hyperparameters, likelihood
+    scales): by the implicit function theorem at the mode by default
+    (`implicit_diff=True` — one extra factorization in the backward), or by
+    reverse-mode through the unrolled Newton loop (`implicit_diff=False`;
+    the two agree once Newton has converged, and a test pins them to each
+    other). Reverse-mode only, like the rest of the linear-algebra stack.
+    """
+    if implicit_diff:
+        loglik_conv, consts = jax.closure_convert(
+            loglik_fn, jnp.zeros((Lk.shape[-1], 1), Lk.dtype)
+        )
+        v_star = _newton_mode_implicit(
+            loglik_conv, int(newton_iters), float(jitter), Lk, tuple(consts)
+        )
+    else:
+        v_star = _newton_iterations(loglik_fn, Lk, newton_iters, jitter)
+
+    n = Lk.shape[-1]
+    I = jnp.eye(n, dtype=Lk.dtype)
+    grad_f = jax.grad(_ll_sum(loglik_fn))
+
+    def curvature(f):
+        return _curvature(loglik_fn, f)
 
     psi, f_star = _psi_parts(loglik_fn, Lk, v_star)
     g = grad_f(f_star)

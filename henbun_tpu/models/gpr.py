@@ -7,7 +7,6 @@ noise variance.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 import henbun_tpu as hb

@@ -113,6 +113,33 @@ class TestStudentT:
         # reference's notebook demonstrates by eye
         assert float(np.asarray(m.var.value)[0]) < 0.5
 
+    def test_implicit_diff_matches_unrolled(self):
+        """The implicit-function-theorem gradient (default) must agree with
+        reverse-mode through the unrolled Newton loop once the mode has
+        converged — values exactly, gradients to the convergence tolerance."""
+        X, y = _toy(n=24, outliers=2, seed=7)
+        Lk = jnp.asarray(_rbf_chol(X))
+        var = jnp.asarray([0.09])
+        yj = jnp.asarray(y)
+
+        def logZ(Lk_, var_, implicit):
+            # 30 iterations: the agreement claim holds AT convergence, and
+            # the outlier data needs a few more damped steps to get |grad
+            # psi| small enough for the two gradient routes to coincide
+            return laplace_whitened(
+                lambda f: densities.student_t(yj, f, var_, 3.0),
+                Lk_,
+                newton_iters=30,
+                implicit_diff=implicit,
+            ).log_marginal
+
+        assert float(logZ(Lk, var, True)) == float(logZ(Lk, var, False))
+        for arg in (0, 1):
+            gi = np.asarray(jax.grad(logZ, arg)(Lk, var, True))
+            gu = np.asarray(jax.grad(logZ, arg)(Lk, var, False))
+            rel = np.abs(gi - gu).max() / (np.abs(gu).max() + 1e-12)
+            assert rel < 5e-3, (arg, rel)
+
     def test_batched_laplace_evidence_training(self):
         """N independent robust-GPR evidence fits compose with
         BatchedOptimizer: the whole Newton loop runs under vmap (safe_cholesky
