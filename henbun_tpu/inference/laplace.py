@@ -106,12 +106,23 @@ def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
             jnp.swapaxes(Lb, -1, -2), half, lower=False
         )
         # damped step: keep the best psi among the ladder — select-based so
-        # the scan body is straight-line code
+        # the scan body is straight-line code. The FULL step is accepted on
+        # a near-tie (tol ~ f32 resolution of psi): once psi improvements
+        # drop below float32 noise, strict `>` acceptance stalls the
+        # iteration at |grad psi| ~ 1e-2 forever, while the pure step
+        # v <- v + B_abs^-1 grad psi is a contraction near the mode
+        # (B_abs - B_true = Lk^T (|W| - W) Lk >= 0, so the fixed-point
+        # Jacobian I - B_abs^-1 B_true has eigenvalues in [0, 1)) and
+        # converges |grad psi| to ~1e-6. Smaller alphas must still STRICTLY
+        # improve to override, so far-from-mode damping is unchanged.
+        tie_tol = 1e-5 * (1.0 + jnp.abs(psi0))
         best_v, best_psi = v, psi0
-        for alpha in (1.0, 0.3, 0.1, 0.03):
+        for i, alpha in enumerate((1.0, 0.3, 0.1, 0.03)):
             v_try = v + alpha * d
             psi_try, _ = _psi_parts(loglik_fn, Lk, v_try)
-            take = psi_try > best_psi
+            take = (
+                psi_try >= best_psi - tie_tol if i == 0 else psi_try > best_psi
+            )
             best_v = jnp.where(take, v_try, best_v)
             best_psi = jnp.where(take, psi_try, best_psi)
         return best_v, None
@@ -184,6 +195,11 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
     reverse-mode through the unrolled Newton loop (`implicit_diff=False`;
     the two agree once Newton has converged, and a test pins them to each
     other). Reverse-mode only, like the rest of the linear-algebra stack.
+
+    The final evidence/covariance factorize B = I + Lk^T W Lk with the TRUE
+    curvature W; for non-log-concave likelihoods B is only guaranteed PSD at
+    a genuine mode, so a non-finite `log_marginal` together with a large
+    `grad_norm` means Newton did not converge — check both diagnostics.
     """
     if implicit_diff:
         loglik_conv, consts = jax.closure_convert(
@@ -242,6 +258,15 @@ def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):
 
     (prior minus the conditioning gain plus the posterior-of-v part).
     Shared by `GPR.predict_f_laplace` and `GPC.predict_p`.
+
+    Variances are clamped at 0: f32 cancellation between the three terms can
+    go slightly negative at near-duplicate test/training inputs, which would
+    NaN downstream sqrt's (GPC's Gauss-Hermite quadrature). Note B uses the
+    TRUE curvature W, which for non-log-concave likelihoods (Student-t) can
+    make B indefinite if `res` is not at a genuine mode — safe_cholesky's
+    jitter escalation cannot restore PD then and the result is NaN; callers
+    should check `res.grad_norm` is small (a genuine mode has PSD B) and
+    `jnp.isfinite` on the outputs.
     """
     from ..ops.linalg import safe_cholesky, tri_solve
 
@@ -257,7 +282,8 @@ def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):
     B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
     Lb = safe_cholesky(B, jitter)
     G = tri_solve(Lb, A)
-    var = (
-        kdiag - jnp.sum(jnp.square(A), axis=0) + jnp.sum(jnp.square(G), axis=0)
+    var = jnp.maximum(
+        kdiag - jnp.sum(jnp.square(A), axis=0) + jnp.sum(jnp.square(G), axis=0),
+        0.0,
     )[:, None]
     return mean, var

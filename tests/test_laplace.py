@@ -122,23 +122,31 @@ class TestStudentT:
         var = jnp.asarray([0.09])
         yj = jnp.asarray(y)
 
-        def logZ(Lk_, var_, implicit):
-            # 30 iterations: the agreement claim holds AT convergence, and
-            # the outlier data needs a few more damped steps to get |grad
-            # psi| small enough for the two gradient routes to coincide
+        def res30(Lk_, var_, implicit):
+            # 30 iterations: the agreement claim holds AT convergence — the
+            # tie-tolerant full-step acceptance reaches |grad psi| ~ 2e-5 on
+            # this outlier data by ~25 iterations (strict-improvement
+            # acceptance used to stall at 0.02 forever; see the ladder
+            # comment in laplace._newton_iterations)
             return laplace_whitened(
                 lambda f: densities.student_t(yj, f, var_, 3.0),
                 Lk_,
                 newton_iters=30,
                 implicit_diff=implicit,
-            ).log_marginal
+            )
 
+        def logZ(Lk_, var_, implicit):
+            return res30(Lk_, var_, implicit).log_marginal
+
+        # the IFT premise: the mode actually converged (gate the gradient
+        # agreement on this — it is vacuous at a stalled pseudo-mode)
+        assert float(res30(Lk, var, True).grad_norm) < 1e-3
         assert float(logZ(Lk, var, True)) == float(logZ(Lk, var, False))
         for arg in (0, 1):
             gi = np.asarray(jax.grad(logZ, arg)(Lk, var, True))
             gu = np.asarray(jax.grad(logZ, arg)(Lk, var, False))
             rel = np.abs(gi - gu).max() / (np.abs(gu).max() + 1e-12)
-            assert rel < 5e-3, (arg, rel)
+            assert rel < 1e-3, (arg, rel)  # measured 1.1e-5 on this mesh
 
     def test_batched_laplace_evidence_training(self):
         """N independent robust-GPR evidence fits compose with
