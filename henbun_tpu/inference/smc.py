@@ -107,27 +107,28 @@ def sample_model(
     return res, flp_prior
 
 
-def sample(
+def _build_run(
     log_prior,
     log_likelihood,
-    init_particles,
-    key,
+    num_particles,
     num_move_steps=5,
     num_leapfrog=8,
     step_size=0.1,
     target_ess=0.5,
     max_stages=100,
-    mesh=None,
 ):
-    """Adaptive-tempered SMC from prior samples to the posterior.
-
-    - log_prior, log_likelihood: theta [dim] -> scalar (the posterior is
-      prior * likelihood; tempering applies to the likelihood).
-    - init_particles: [P, dim] draws from the prior.
-    Returns SMCResult (particles are equal-weight after the final stage).
-    """
-    init_particles = jnp.asarray(init_particles)
-    P_, dim = init_particles.shape
+    """The whole SMC program as a pure `(particles, key) -> SMCResult`
+    closure, exposed separately from :func:`sample` so tests can LOWER it
+    under a mesh and assert the collective contract on the compiled HLO
+    (tests/test_parallel.py::test_smc_resampling_hlo_collectives): per stage
+    the only data-moving collective is ONE all-gather of the particle block
+    feeding the resampling gather — irreducible under XLA's static-SPMD
+    lowering, because systematic resampling may route any source particle to
+    any destination shard and GSPMD cannot emit a data-dependent sparse
+    exchange — plus two [P] weight-vector all-gathers (cumsum, searchsorted);
+    everything else (HMC moves, ESS bisection) is shard-local compute with
+    scalar all-reduces."""
+    P_ = num_particles
 
     v_log_lik = jax.vmap(log_likelihood)
 
@@ -205,6 +206,41 @@ def sample(
             cond, stage, state
         )
         return SMCResult(particles, log_Z, n_stages, beta)
+
+    return run
+
+
+def sample(
+    log_prior,
+    log_likelihood,
+    init_particles,
+    key,
+    num_move_steps=5,
+    num_leapfrog=8,
+    step_size=0.1,
+    target_ess=0.5,
+    max_stages=100,
+    mesh=None,
+):
+    """Adaptive-tempered SMC from prior samples to the posterior.
+
+    - log_prior, log_likelihood: theta [dim] -> scalar (the posterior is
+      prior * likelihood; tempering applies to the likelihood).
+    - init_particles: [P, dim] draws from the prior.
+    Returns SMCResult (particles are equal-weight after the final stage).
+    """
+    init_particles = jnp.asarray(init_particles)
+    P_, dim = init_particles.shape
+    run = _build_run(
+        log_prior,
+        log_likelihood,
+        P_,
+        num_move_steps=num_move_steps,
+        num_leapfrog=num_leapfrog,
+        step_size=step_size,
+        target_ess=target_ess,
+        max_stages=max_stages,
+    )
 
     if mesh is not None:
         from ..parallel.mesh import CHAIN_AXIS
