@@ -41,9 +41,13 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--use-pallas", action="store_true",
                     help="enable [tpu] use_pallas (vectorized-batch Cholesky)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable [tpu] use_pallas (default-on since round 3)")
     args = ap.parse_args(argv)
     if args.use_pallas:
         hb.settings.tpu.use_pallas = True
+    if args.no_pallas:
+        hb.settings.tpu.use_pallas = False
 
     try:
         jax.config.update(
