@@ -69,6 +69,12 @@ class BatchedOptimizer(Optimizer):
     # ---------------------------------------------------------------- build
     def compile(self, optimizer=None, collection=graph_key.VARIABLES,
                 global_step=None, learning_rate=0.001, num_elbo_samples=1):
+        if global_step is not None:
+            raise ValueError(
+                "compile(global_step=...) is not supported: pass the "
+                "schedule inside the optimizer, e.g. "
+                "optax.adam(optax.exponential_decay(...))."
+            )
         if settings.verbosity.tf_compile_verb:
             print("compiling (batched x%d)..." % len(self.models))
         self.optimizer = (

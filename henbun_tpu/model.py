@@ -263,6 +263,16 @@ class Optimizer:
           reference cannot express, nearly free on TPU while the chip is
           latency-bound.
         """
+        if global_step is not None:
+            raise ValueError(
+                "compile(global_step=...) is not supported: the reference "
+                "used it to drive TF learning-rate schedules "
+                "(/root/reference/Henbun/model.py:207,213-215); here the "
+                "schedule lives in the optimizer — pass e.g. "
+                "optax.adam(optax.exponential_decay(...)). The step counter "
+                "itself is Optimizer.global_step, restored by "
+                "restore_state()."
+            )
         if settings.verbosity.tf_compile_verb:
             print("compiling...")
         self.optimizer = optimizer if optimizer is not None else optax.adam(learning_rate)
@@ -649,10 +659,24 @@ class Optimizer:
                             opt_state = self._place(
                                 jax.tree_util.tree_map(jnp.asarray, snap_o)
                             )
+                            hint = ""
+                            if getattr(self.optimizer, "henbun_natgrad",
+                                       False):
+                                hint = (
+                                    " Likely cause with natural gradients: a"
+                                    " stochastic (MC) objective with gamma"
+                                    " beyond the gradient estimate's accuracy"
+                                    " — the pairing rule is MC ELBO -> Adam"
+                                    " (or natural_gradient(..., gamma<=0.01,"
+                                    " adaptive=True)); analytic/deterministic"
+                                    " ELBO -> unit-gamma natgrad"
+                                    " (docs/PERF.md §SVGP)."
+                                )
                             raise FloatingPointError(
                                 "objective went non-finite at step ~%d twice "
                                 "in a row; aborting (first failure at chunk "
-                                "offset %d)" % (self.global_step + n, bad_at)
+                                "offset %d).%s"
+                                % (self.global_step + n, bad_at, hint)
                             )
                         if settings.verbosity.optimisation_verb:
                             print(

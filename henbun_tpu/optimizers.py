@@ -129,9 +129,16 @@ def _natgrad_full(mu, L, gmu, gL, gamma):
     mu_new, L_new, ok, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (mu0, L0, ok0, jnp.asarray(gamma, mu.dtype), jnp.zeros((), jnp.int32)),
+        (mu0, L0, ok0, jnp.asarray(gamma, mu.dtype) * jnp.ones((), mu.dtype),
+         jnp.zeros((), jnp.int32)),
     )
-    return mu_new, L_new, ok
+    # The persistent adaptive-gamma controller needs to distinguish WHY a
+    # first attempt failed: `rescued` (a smaller ladder gamma succeeded) is
+    # evidence the base gamma is too long — shrink; first-and-ladder-all-
+    # failed is a conditioning problem (e.g. near-singular q in f32) that no
+    # gamma fixes — the transient keep-old handles it, don't shrink.
+    rescued = ok & ~ok0
+    return mu_new, L_new, ok, ok0, rescued
 
 
 def _natgrad_diag(mu, s, gmu, gs, gamma):
@@ -159,13 +166,17 @@ def _natgrad_diag(mu, s, gmu, gs, gamma):
     mu_new = mu
     s_new = s
     done = jnp.zeros(mu.shape, bool)
+    first_ok_mask = None
     for g in (gamma, gamma / 8.0, gamma / 64.0):
         mu_g, s_g, ok = attempt(g)
+        if first_ok_mask is None:
+            first_ok_mask = ok
         take = ok & ~done
         mu_new = jnp.where(take, mu_g, mu_new)
         s_new = jnp.where(take, s_g, s_new)
         done = done | ok
-    return mu_new, s_new, jnp.array(True)
+    rescued = jnp.any(done & ~first_ok_mask)
+    return mu_new, s_new, jnp.array(True), jnp.all(first_ok_mask), rescued
 
 
 def _batched(fn, mu, q, gmu, gq, gamma, matrix):
@@ -180,15 +191,20 @@ def _batched(fn, mu, q, gmu, gq, gamma, matrix):
     else:
         q2 = q.reshape((-1, q.shape[-1]))
         gq2 = gq.reshape((-1, q.shape[-1]))
-    mu_n, q_n, ok = jax.vmap(lambda a, b, c, d: fn(a, b, c, d, gamma))(
-        mu2, q2, gmu2, gq2
-    )
+    mu_n, q_n, ok, first_ok, rescued = jax.vmap(
+        lambda a, b, c, d: fn(a, b, c, d, gamma)
+    )(mu2, q2, gmu2, gq2)
     # per-distribution guard: a failed step keeps that distribution's params
     keep = ok.reshape((-1,) + (1,) * (mu_n.ndim - 1))
     mu_n = jnp.where(keep, mu_n, mu2)
     keepq = ok.reshape((-1,) + (1,) * (q_n.ndim - 1))
     q_n = jnp.where(keepq, q_n, q2)
-    return mu_n.reshape(mu.shape), q_n.reshape(q.shape)
+    return (
+        mu_n.reshape(mu.shape),
+        q_n.reshape(q.shape),
+        jnp.all(first_ok),
+        jnp.any(rescued),
+    )
 
 
 def _discover_pairs(model, params):
@@ -209,10 +225,39 @@ def _discover_pairs(model, params):
     return pairs
 
 
-def natural_gradient(model, gamma=0.1, rest=None):
+class _NatGradTransformation(optax.GradientTransformation):
+    """Marker subclass: lets the training drivers recognize a natural-
+    gradient optimizer and name the objective-pairing rule when the
+    nan-guard aborts (docs/PERF.md §SVGP: MC ELBO + large-gamma natgrad on a
+    big fullrank q diverges; analytic ELBO + unit gamma converges)."""
+
+    henbun_natgrad = True
+
+
+def natural_gradient(model, gamma=0.1, rest=None, adaptive=False):
     """An optax-compatible GradientTransformation: natural-gradient steps on
     every trainable Variational (q_mu, q_sqrt) pair, `rest` (default
     Adam(1e-2)) on everything else. Pass to `Optimizer.compile`.
+
+    adaptive=True turns the transient PD-cone retry into a PERSISTENT
+    per-node step-size controller for STOCHASTIC (MC) objectives: each
+    Variational node carries a scale in (0, 1] on top of `gamma`. When a
+    step is RESCUED (the first attempt left the PD cone and a smaller
+    ladder gamma succeeded — evidence the step length is the problem) the
+    scale shrinks 8x, matching the ladder so the next step STARTS at the
+    gamma that just worked; on a clean first attempt it recovers 2x; when
+    the WHOLE ladder fails it holds — that is an f32 conditioning failure
+    no gamma fixes (the transient keep-old handles it), and shrinking on it
+    was measured to ratchet runs into the stalling band. Measured
+    (tests/test_natgrad.py, CPU mesh): on the fullrank MC GPR fit a 30x-too-
+    long gamma=0.3 self-tunes to within a nat of the hand-tuned 0.01 run
+    (-29.5 vs -28.5; fixed 0.3 sits at -36), and the m=128 MC SVGP fit that
+    NaN-aborted at any fixed gamma SURVIVES (docs/PERF.md §SVGP). Do NOT
+    use adaptive on deterministic conjugate (analytic) ELBOs: there the
+    fixed unit step is exact and maximally stable — the failure-rate-vs-
+    gamma curve is non-monotone at m=128, so any shrink moves INTO the
+    0.1-0.3 stall band (measured tail ELBO/n -73 vs -0.33). The scale rides
+    in the optax state (scan-carried, checkpointed with everything else).
 
     Requires update(..., params) — the Optimizer driver supplies params (the
     natural-parameter map is state-dependent, unlike plain gradient
@@ -234,7 +279,12 @@ def natural_gradient(model, gamma=0.1, rest=None):
         meta["pairs"] = tuple(pairs)
         meta["pair_keys"] = frozenset(k for p in pairs for k in p[:2])
         _, rest_params = split(params, meta["pair_keys"])
-        return {"rest": rest.init(rest_params)}
+        state = {"rest": rest.init(rest_params)}
+        if adaptive:
+            state["gamma_scale"] = {
+                mu_p: jnp.ones((), jnp.float32) for mu_p, *_ in meta["pairs"]
+            }
+        return state
 
     def update(grads, state, params=None):
         if params is None:
@@ -247,30 +297,62 @@ def natural_gradient(model, gamma=0.1, rest=None):
         rest_updates, rest_state = rest.update(g_rest, state["rest"], p_rest)
 
         updates = dict(rest_updates)
+        new_scales = {}
         for mu_p, sq_p, q_shape, size in meta["pairs"]:
             mu, q = params[mu_p], params[sq_p]
             # the driver MINIMIZES -objective; natgrad ascends the ELBO, so
             # flip the incoming (descent) gradients back to ascent
             gmu, gq = -grads[mu_p], -grads[sq_p]
+            g_node = gamma
+            if adaptive:
+                g_node = gamma * state["gamma_scale"][mu_p]
             if q_shape == "diagonal":
-                mu_n, q_n = _batched(_natgrad_diag, mu, q, gmu, gq, gamma, False)
+                mu_n, q_n, first_ok, rescued = _batched(
+                    _natgrad_diag, mu, q, gmu, gq, g_node, False
+                )
             elif q_shape == "fullrank":
                 # the free q_sqrt is dense with a dead upper triangle; the
                 # factor is its tril, and the step returns a fresh tril
                 L = jnp.tril(q)
-                mu_n, q_n = _batched(_natgrad_full, mu, L, gmu, gq, gamma, True)
+                mu_n, q_n, first_ok, rescued = _batched(
+                    _natgrad_full, mu, L, gmu, gq, g_node, True
+                )
             elif q_shape == "fullrank_packed":
                 # the repack (fill_triangular_inverse) is a gather per step;
                 # it is dominated by the O(size^3) solves of the natgrad
                 # update itself at any size where packing matters
                 L = fill_triangular(q, size)
                 gL = fill_triangular(gq, size)
-                mu_n, L_n = _batched(_natgrad_full, mu, L, gmu, gL, gamma, True)
+                mu_n, L_n, first_ok, rescued = _batched(
+                    _natgrad_full, mu, L, gmu, gL, g_node, True
+                )
                 q_n = fill_triangular_inverse(L_n)
             else:  # pragma: no cover - unknown family, leave to `rest`
                 continue
             updates[mu_p] = mu_n - mu
             updates[sq_p] = q_n - q
-        return updates, {"rest": rest_state}
+            if adaptive:
+                # Shrink only on a RESCUED step (a smaller ladder gamma
+                # succeeded where the base gamma exited the cone — proof the
+                # step length was the problem); recover symmetrically on a
+                # clean first attempt; and leave the scale UNTOUCHED when
+                # the whole ladder failed — that is an f32 conditioning
+                # failure no gamma fixes (measured on the analytic m=128
+                # SVGP fit: its rare blips fail at every gamma down to 1e-6,
+                # and any shrink-on-failure policy ratchets the run into the
+                # known 0.1-0.3 stalling band, tail ELBO/n -11 to -34 vs
+                # -0.33 at fixed unit gamma).
+                scale = state["gamma_scale"][mu_p]
+                new_scales[mu_p] = jnp.where(
+                    rescued,
+                    jnp.maximum(scale / 8.0, 1e-6),
+                    jnp.where(
+                        first_ok, jnp.minimum(scale * 2.0, 1.0), scale
+                    ),
+                )
+        new_state = {"rest": rest_state}
+        if adaptive:
+            new_state["gamma_scale"] = new_scales
+        return updates, new_state
 
-    return optax.GradientTransformation(init, update)
+    return _NatGradTransformation(init, update)
