@@ -26,12 +26,21 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--minibatch", type=int, default=1024)
+    ap.add_argument("--d-z", type=int, default=4)
+    ap.add_argument("--q-local", default="diagonal",
+                    choices=["diagonal", "fullrank_packed"],
+                    help="local posterior family; fullrank_packed gives "
+                         "correlated d_z-dim locals from a slab of "
+                         "d_z + d_z(d_z+1)/2 encoder outputs (half the "
+                         "dense layout's width)")
     ap.add_argument("--sharded", action="store_true")
     args = ap.parse_args(argv)
 
     hb.set_seed(0)
     X, Y = models.make_synthetic_regression(n=args.n, d_x=8)
-    m = models.AmortizedRegression(seed=0, X=X, Y=Y, d_z=4, hidden=64)
+    m = models.AmortizedRegression(
+        seed=0, X=X, Y=Y, d_z=args.d_z, hidden=64, q_local=args.q_local
+    )
 
     if args.sharded:
         import jax

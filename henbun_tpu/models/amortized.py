@@ -29,7 +29,8 @@ class AmortizedRegression(hb.model.Model):
     encoder slab (assignment = feeding idiom, cf. reference param.py:384-394).
     """
 
-    def setUp(self, X, Y, d_z=4, hidden=64, analytic_kl=True):
+    def setUp(self, X, Y, d_z=4, hidden=64, analytic_kl=True,
+              q_local="diagonal"):
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
@@ -39,8 +40,13 @@ class AmortizedRegression(hb.model.Model):
         # (mu, log sigma) slab — zero-variance vs the reference's 1-sample
         # estimate, at the cost of one exp over the slab (free next to the
         # decoder matmuls). Set False for the reference-parity estimator.
+        # q_local: the local posterior family — 'diagonal' (the reference's
+        # encoder contract) or 'fullrank_packed' (correlated d_z-dim locals;
+        # the packed layout keeps the slab at d_z + d_z(d_z+1)/2 columns —
+        # half the dense d_z + d_z^2 — and unpacks scatter-free per step,
+        # SURVEY.md hard part (a)).
         self.z = hb.variationals.Normal(
-            shape=[d_z], collections=hb.graph_key.LOCAL,
+            shape=[d_z], q_shape=q_local, collections=hb.graph_key.LOCAL,
             analytic_kl=analytic_kl,
         )
         # encoder emits the feed slab [N, feed_size] = [N, 2*d_z]

@@ -344,3 +344,91 @@ class TestMoreLocalFeeds:
         s = np.asarray(sample)
         assert np.all(s > 0) and np.all(s < 1)
         assert np.isfinite(float(kl))
+
+
+class TestPackedLocalFeed:
+    """fullrank_packed LOCALs through the encoder slab (VERDICT r2 ask #6 /
+    SURVEY hard part (a)): the slab carries q_mu then the PACKED lower
+    triangle, and the fed sample is mu + fill_triangular(packed) @ u."""
+
+    def test_packed_local_feed_and_sample(self):
+        from henbun_tpu.ops.linalg import fill_triangular
+
+        m = hb.model.Model()
+        m.q = hb.variationals.Normal(
+            shape=[3], q_shape="fullrank_packed",
+            collections=hb.graph_key.LOCAL,
+        )
+        assert m.q.feed_size == 3 + 6
+        N = 4
+        slab = np.random.default_rng(0).normal(size=(N, 9)).astype(np.float32)
+
+        def fn(mm):
+            mm.q = jnp.asarray(slab)  # assignment = feed
+            st = ctx_mod.current().samples["q"]
+            return mm.q, st["u"]
+
+        sample, u = run_traced(m, fn)
+        assert sample.shape == (N, 3)
+        L = np.asarray(fill_triangular(jnp.asarray(slab[:, 3:]), 3))  # [N,3,3]
+        expected = slab[:, :3] + np.einsum("nij,nj->ni", L, np.asarray(u))
+        assert np.allclose(np.asarray(sample), expected, atol=1e-5)
+
+    def test_packed_local_analytic_kl_matches_dense(self):
+        """The analytic KL of a fed packed local equals the dense-fullrank KL
+        of the unpacked factor (same distribution, different layout)."""
+        from henbun_tpu.ops.linalg import fill_triangular
+
+        N, d = 5, 3
+        rng = np.random.default_rng(1)
+        mu = rng.normal(size=(N, d)).astype(np.float32)
+        packed = rng.normal(size=(N, d * (d + 1) // 2)).astype(np.float32)
+        slab = np.concatenate([mu, packed], axis=-1)
+
+        m = hb.model.Model()
+        m.q = hb.variationals.Normal(
+            shape=[d], q_shape="fullrank_packed",
+            collections=hb.graph_key.LOCAL, analytic_kl=True,
+        )
+
+        def fn(mm):
+            mm.q = jnp.asarray(slab)
+            return mm.KL()
+
+        kl = float(run_traced(m, fn))
+        L = np.asarray(fill_triangular(jnp.asarray(packed), d))
+        # exact KL(q || N(0,I)) summed over the batch
+        expect = 0.0
+        for i in range(N):
+            Sig = L[i] @ L[i].T
+            expect += 0.5 * (
+                mu[i] @ mu[i] + np.trace(Sig) - d
+                - np.log(np.diag(L[i]) ** 2 + 1e-20).sum()
+            )
+        assert np.allclose(kl, expect, rtol=1e-5)
+
+    def test_amortized_packed_trains_end_to_end(self):
+        """AmortizedRegression with fullrank_packed locals: the encoder slab
+        is d_z + d_z(d_z+1)/2 wide (HALF the dense d_z + d_z^2 — the packed
+        layout's point), the feed path runs under the jitted minibatch scan,
+        and the ELBO improves."""
+        import optax
+
+        from henbun_tpu.models.amortized import (
+            AmortizedRegression,
+            make_synthetic_regression,
+        )
+
+        X, Y = make_synthetic_regression(n=2048, d_x=4, seed=0)
+        d_z = 4
+        m = AmortizedRegression(
+            seed=0, X=X, Y=Y, d_z=d_z, hidden=32, q_local="fullrank_packed"
+        )
+        assert m.z.feed_size == d_z + d_z * (d_z + 1) // 2  # 14 < 4 + 16
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.003))
+        e0 = float(np.mean([opt.run(minibatch_size=256) for _ in range(10)]))
+        opt.optimize(maxiter=1500, minibatch_size=256)
+        e1 = float(np.mean([opt.run(minibatch_size=256) for _ in range(10)]))
+        assert np.isfinite(np.concatenate(opt.history)).all()
+        assert e1 > e0
