@@ -1,0 +1,210 @@
+"""Expectation propagation for GP models with factorizing likelihoods.
+
+The third deterministic inference engine next to the quadrature ELBOs
+(`ops/quadrature.py`) and the Laplace approximation (`inference/laplace.py`):
+approximate each non-Gaussian likelihood factor by a Gaussian *site*
+t_i(f_i) = exp(nu_i f_i - tau_i f_i^2 / 2) whose moments match the tilted
+distribution cavity x likelihood (GPML ch. 3.6, PAPERS.md). EP's predictive
+marginals are the accuracy reference for binary GP classification (better
+than Laplace, which underestimates the mean shift at the mode).
+
+TPU-first design: PARALLEL EP — every site updates simultaneously from the
+current posterior marginals each sweep (one [n] quadrature batch + rank-n
+refresh), not the reference textbooks' sequential site loop with rank-1
+updates. A sequential loop is n data-dependent small updates per sweep
+(hostile to XLA); the parallel sweep is one Cholesky of
+B = I + sqrtW K sqrtW plus two triangular solves — MXU-dense, a static
+`lax.scan` trip count, and batched traces dispatch the factorization/solves
+to the Pallas kernels (`ops/linalg.py`). Parallel EP needs damping to
+converge (default 0.5, standard); the returned `delta` diagnostic is the
+last sweep's max site-parameter change.
+
+Tilted moments are Gauss-Hermite (ops/quadrature nodes) in log-space:
+logZ_hat = logsumexp(log w + loglik(f)), moments from the softmax weights —
+exact-enough for any smooth likelihood at deg=20 and fully vectorized over
+sites. Negative incoming site precisions (possible for non-log-concave
+likelihoods like Student-t) are clipped at 0: the site degrades to flat
+rather than destabilizing B.
+
+The evidence uses the natural-parameter form (derived from the site
+normalizers, singularity-free at tau=0):
+
+    log Z_EP = sum_i [ log Zhat_i + 0.5 log((tau_c + tau)/tau_c)
+                       - (nu_c + nu)^2 / (2 (tau_c + tau))
+                       + nu_c^2 / (2 tau_c) ]
+               - 0.5 log|B| + 0.5 nu^T Sigma nu
+
+Everything is jnp under a static scan, so hyperparameter gradients flow by
+reverse-mode through the unrolled sweeps (like `implicit_diff=False`
+Laplace). The reference has no EP machinery at all; north-star addition.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .._settings import settings
+from ..ops.linalg import matmul_hp, safe_cholesky, tri_solve
+from ..ops.quadrature import _nodes
+
+
+class EPResult(NamedTuple):
+    """Converged (or `sweeps`-swept) EP posterior.
+
+    f_mean/f_var: posterior latent marginals at the training inputs [n, 1];
+    log_marginal: the EP evidence approximation; nu/tau: site natural
+    parameters [n] (feed to :func:`ep_latent_marginals` for prediction);
+    delta: max |site change| in the final sweep — a convergence diagnostic,
+    should be ~0 (parallel EP with damping typically reaches <1e-4 in
+    20-30 sweeps on log-concave likelihoods)."""
+
+    f_mean: jax.Array
+    f_var: jax.Array
+    log_marginal: jax.Array
+    nu: jax.Array
+    tau: jax.Array
+    delta: jax.Array
+
+
+def _posterior_from_sites(K, nu, tau, jitter):
+    """Stable posterior given sites: B = I + sqrtW K sqrtW (GPML 3.26/3.43
+    generalized to natural parameters). Returns (mu [n], diagSigma [n], Lb)."""
+    n = K.shape[-1]
+    I = jnp.eye(n, dtype=K.dtype)
+    # tiny epsilon: clipped tau=0 sites (non-log-concave likelihoods) would
+    # otherwise put sqrt's infinite derivative into evidence gradients
+    sw = jnp.sqrt(tau + 1e-12)
+    B = I + sw[:, None] * K * sw[None, :]
+    Lb = safe_cholesky(B, jitter)
+    # Sigma = K - K sw B^-1 sw K;  V = Lb^-1 (sw K)
+    V = tri_solve(Lb, sw[:, None] * K)
+    diagSigma = jnp.diagonal(K, axis1=-2, axis2=-1) - jnp.sum(
+        jnp.square(V), axis=0
+    )
+    mu = matmul_hp(K, nu[:, None])[:, 0] - matmul_hp(
+        jnp.swapaxes(V, -1, -2), matmul_hp(V, nu[:, None])
+    )[:, 0]
+    return mu, diagSigma, Lb
+
+
+def _tilted_moments(loglik_fn, m_c, v_c, deg):
+    """Gauss-Hermite moments of the tilted distribution
+    cavity N(m_c, v_c) x exp(loglik) per site, in log-space.
+
+    Returns (logZ_hat, m_hat, v_hat), each [n]."""
+    x, w = _nodes(int(deg))
+    dtype = m_c.dtype
+    x = jnp.asarray(x, dtype)
+    logw = jnp.log(jnp.asarray(w, dtype))
+    f = m_c[:, None] + jnp.sqrt(2.0 * v_c)[:, None] * x  # [n, deg]
+    ll = loglik_fn(f)  # [n, deg] elementwise log-likelihood
+    a = logw + ll
+    logZ = jax.scipy.special.logsumexp(a, axis=-1)
+    p = jax.nn.softmax(a, axis=-1)
+    m_hat = jnp.sum(p * f, axis=-1)
+    v_hat = jnp.sum(p * jnp.square(f), axis=-1) - jnp.square(m_hat)
+    return logZ, m_hat, v_hat
+
+
+def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
+          tau_cav_floor=1e-6):
+    """Parallel EP for f ~ N(0, K) with factorizing likelihood.
+
+    loglik_fn: f [n, deg] -> elementwise log-likelihood [n, deg] (close over
+    the observations with a trailing broadcast axis, like the quadrature
+    ELBOs do). K: [n, n] prior covariance (scale it by the kernel variance
+    BEFORE calling). Returns :class:`EPResult`; differentiable w.r.t.
+    everything `loglik_fn` and `K` close over by reverse-mode through the
+    unrolled sweeps.
+    """
+    if jitter is None:
+        jitter = settings.numerics.jitter_level
+    n = K.shape[-1]
+    dtype = K.dtype
+
+    def sweep(carry, _):
+        nu, tau = carry
+        mu, sig2, _ = _posterior_from_sites(K, nu, tau, jitter)
+        sig2 = jnp.maximum(sig2, 1e-10)
+        # cavity in natural parameters; floor keeps it a proper Gaussian
+        tau_c = jnp.maximum(1.0 / sig2 - tau, tau_cav_floor)
+        nu_c = mu / sig2 - nu
+        m_c = nu_c / tau_c
+        v_c = 1.0 / tau_c
+        _, m_hat, v_hat = _tilted_moments(loglik_fn, m_c, v_c, deg)
+        v_hat = jnp.maximum(v_hat, 1e-10)
+        tau_new = jnp.maximum(1.0 / v_hat - tau_c, 0.0)
+        nu_new = m_hat / v_hat - nu_c
+        nu_new = jnp.where(tau_new > 0.0, nu_new, 0.0)
+        d = jnp.maximum(
+            jnp.max(jnp.abs(tau_new - tau)), jnp.max(jnp.abs(nu_new - nu))
+        )
+        nu = (1.0 - damping) * nu + damping * nu_new
+        tau = (1.0 - damping) * tau + damping * tau_new
+        return (nu, tau), d
+
+    nu0 = jnp.zeros((n,), dtype)
+    tau0 = jnp.zeros((n,), dtype)
+    (nu, tau), deltas = jax.lax.scan(
+        sweep, (nu0, tau0), None, length=int(sweeps)
+    )
+
+    # final posterior + evidence from the converged sites
+    mu, sig2, Lb = _posterior_from_sites(K, nu, tau, jitter)
+    sig2 = jnp.maximum(sig2, 1e-10)
+    tau_c = jnp.maximum(1.0 / sig2 - tau, tau_cav_floor)
+    nu_c = mu / sig2 - nu
+    m_c = nu_c / tau_c
+    v_c = 1.0 / tau_c
+    logZ_hat, _, _ = _tilted_moments(loglik_fn, m_c, v_c, deg)
+    # site-normalizer sum (see module docstring; singularity-free at tau=0)
+    site_terms = (
+        logZ_hat
+        + 0.5 * jnp.log((tau_c + tau) / tau_c)
+        - jnp.square(nu_c + nu) / (2.0 * (tau_c + tau))
+        + jnp.square(nu_c) / (2.0 * tau_c)
+    )
+    logdetB = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb, axis1=-2, axis2=-1)))
+    log_marginal = (
+        jnp.sum(site_terms) - 0.5 * logdetB + 0.5 * jnp.sum(nu * mu)
+    )
+    return EPResult(
+        f_mean=mu[:, None],
+        f_var=sig2[:, None],
+        log_marginal=log_marginal,
+        nu=nu,
+        tau=tau,
+        delta=deltas[-1],
+    )
+
+
+def ep_latent_marginals(res, K, Ks, kdiag, jitter=None):
+    """Predictive latent marginals (mean [n*, 1], var [n*, 1]) at new inputs
+    under the EP posterior `res` for prior cov K (GPML 3.60-3.61 in natural
+    parameters):
+
+        E[f*]  = Ks^T (nu - sqrtW B^-1 sqrtW K nu)
+        V[f*]  = kdiag - colnorm(Lb^-1 sqrtW Ks)^2
+
+    Ks: cross covariance cov(f, f*) [n, n*]; kdiag: prior variances at the
+    new inputs [n*]. Variances are clamped at 0 (f32 cancellation at
+    near-duplicate inputs, same guard as `laplace_latent_marginals`)."""
+    if jitter is None:
+        jitter = settings.numerics.jitter_level
+    n = K.shape[-1]
+    I = jnp.eye(n, dtype=K.dtype)
+    sw = jnp.sqrt(res.tau + 1e-12)
+    B = I + sw[:, None] * K * sw[None, :]
+    Lb = safe_cholesky(B, jitter)
+    Knu = matmul_hp(K, res.nu[:, None])
+    z = tri_solve(Lb, sw[:, None] * Knu)
+    half = tri_solve(Lb, sw[:, None] * Ks)  # [n, n*]
+    alpha = res.nu[:, None] - sw[:, None] * jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lb, -1, -2), z, lower=False
+    )
+    mean = matmul_hp(jnp.swapaxes(Ks, -1, -2), alpha)  # [n*, 1]
+    var = jnp.maximum(kdiag - jnp.sum(jnp.square(half), axis=0), 0.0)[:, None]
+    return mean, var

@@ -114,6 +114,23 @@ class GPR(hb.model.Model):
         )
         return res.log_marginal
 
+    @hb.AutoOptimize()
+    def log_marginal_ep_student(self):
+        """EP evidence for the robust Student-t likelihood — the
+        moment-matching alternative to `log_marginal_laplace_student`.
+        Student-t is not log-concave, so sites with negative incoming
+        precision are clipped flat and the sweeps use conservative damping
+        (0.3); check `ep().delta` when in doubt."""
+        from henbun_tpu.inference.ep import ep_gp
+        from henbun_tpu.ops.linalg import matmul_hp
+
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        K = matmul_hp(Lk, jnp.swapaxes(Lk, -1, -2))
+        return ep_gp(
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0),
+            K, sweeps=60, damping=0.3,
+        ).log_marginal
+
     def laplace_student(self):
         """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
         current hyperparameters: evaluate with ``m.run(GPR.laplace_student)``
