@@ -66,8 +66,12 @@ def main(argv=None):
     configs = [
         ("reg", "ELBO", "adam", lambda m: optax.adam(0.02)),
         ("reg", "ELBO", "natgrad_adaptive",
+         # the nan-guard's own pairing hint: MC -> gamma<=0.01 + adaptive
+         # (gamma=0.1 adaptive survived at n=2e4 on CPU but aborted at
+         # n=1e6 on the chip — the n/B=977 likelihood scale amplifies the
+         # 1-sample noise the cone signal cannot see)
          lambda m: hopt.natural_gradient(
-             m, gamma=0.1, rest=optax.adam(0.005), adaptive=True)),
+             m, gamma=0.01, rest=optax.adam(0.005), adaptive=True)),
         ("reg", "ELBO_analytic", "natgrad1",
          lambda m: hopt.natural_gradient(m, gamma=1.0, rest=optax.adam(0.005))),
         ("cls", "ELBO", "adam", lambda m: optax.adam(0.02)),
@@ -87,9 +91,17 @@ def main(argv=None):
         note("%s %s + %s: compiling + warming (n=%d, m=%d, B=%d)"
              % (family, objective, opt_name, args.n, args.m, args.minibatch))
         aborted = False
+        best = float("inf")
         try:
             opt.optimize(maxiter=args.steps, minibatch_size=args.minibatch,
                          minibatch_mode=args.mode)
+            note("warmed; timing")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                opt.optimize(maxiter=args.steps,
+                             minibatch_size=args.minibatch,
+                             minibatch_mode=args.mode)
+                best = min(best, time.perf_counter() - t0)
         except FloatingPointError as e:
             print(json.dumps({
                 "metric": "svgp_%s_%s_%s"
@@ -100,13 +112,6 @@ def main(argv=None):
             aborted = True
         if aborted:
             continue
-        note("warmed; timing")
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            opt.optimize(maxiter=args.steps, minibatch_size=args.minibatch,
-                         minibatch_mode=args.mode)
-            best = min(best, time.perf_counter() - t0)
         steps_per_s = args.steps / best
         elbo_tail = float(np.mean(opt.history[-1][-100:]))
         print(json.dumps({

@@ -49,6 +49,38 @@ class AmortizedRegression(hb.model.Model):
             shape=[d_z], q_shape=q_local, collections=hb.graph_key.LOCAL,
             analytic_kl=analytic_kl,
         )
+        # packed locals: the slab feeds FACTOR entries directly (no log
+        # transform like the diagonal family), so a fresh encoder's ~0
+        # outputs would start every local near-singular — logdet ~ -46 per
+        # latent dim dominates the KL and wrecks early training (measured
+        # on the v5e: tail ELBO/n -6.8 vs -0.32 for diagonal locals at
+        # d_z=8, n=1e6). Bias the slab's diagonal slots by +1 so the fed
+        # factor starts at ~identity, the prior-matched init the non-LOCAL
+        # packed family also uses (variationals.py).
+        if q_local == "fullrank_packed":
+            from henbun_tpu.ops.linalg import fill_triangular_diag_indices
+
+            diag_slots = d_z + np.asarray(fill_triangular_diag_indices(d_z))
+            bias = np.zeros(self.z.feed_size, np.float32)
+            bias[diag_slots] = 1.0
+            self._slab_bias = bias
+            # factor slots scaled 0.1x around the identity bias: a fresh
+            # encoder's O(1) raw outputs would otherwise wobble the factor
+            # (random noise correlations, diagonals in [0, 2]) exactly when
+            # the decoder is learning whether to use z at all — the run
+            # collapses to an ignored latent still paying 1-4 nats/point of
+            # junk-factor KL that Adam takes tens of thousands of steps to
+            # clean up (measured: diagonal locals reach ELBO/n -0.32 where
+            # the unscaled packed run sits at -11). The encoder can still
+            # express any factor (10x output weights); only the init noise
+            # shrinks. Matches in spirit the diagonal family's log-sigma
+            # contract, where raw 0 already means the prior-matched sigma=1.
+            scale = np.full(self.z.feed_size, 0.1, np.float32)
+            scale[:d_z] = 1.0
+            self._slab_scale = scale
+        else:
+            self._slab_bias = None
+            self._slab_scale = None
         # encoder emits the feed slab [N, feed_size] = [N, 2*d_z]
         # small init stddev: the encoder's raw output feeds log-sigma of the
         # local posterior; O(1) weights would give exp(~50) sigmas at init
@@ -65,7 +97,12 @@ class AmortizedRegression(hb.model.Model):
     @hb.AutoOptimize()
     def ELBO(self):
         xy = jnp.concatenate([self.x, self.y], axis=-1)
-        self.z = self.encoder(xy)          # feed: unpack slab + sample
+        slab = self.encoder(xy)
+        if self._slab_bias is not None:
+            slab = slab * jnp.asarray(self._slab_scale) + jnp.asarray(
+                self._slab_bias
+            )
+        self.z = slab                      # feed: unpack slab + sample
         z = self.z                          # [N, d_z] posterior sample
         xz = jnp.concatenate([self.x, z], axis=-1)
         y_fit = self.decoder(xz)
