@@ -39,19 +39,25 @@ def _time_steps(opt, steps, reps=3):
 
 
 class _LaplaceGPR(models.GPR):
-    """GPR whose evidence objective lets the bench pick the diff mode."""
+    """GPR whose evidence objective lets the bench pick engine/diff mode."""
 
     implicit = True
+    engine = "laplace"
 
     @hb.AutoOptimize()
     def evidence(self):
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        loglik = lambda f: densities.student_t(self.Y, f, self.var, 3.0)
+        if type(self).engine == "ep":
+            from henbun_tpu.inference.ep import ep_gp
+            from henbun_tpu.ops.linalg import matmul_hp
+
+            K = matmul_hp(Lk, jnp.swapaxes(Lk, -1, -2))
+            return ep_gp(loglik, K, sweeps=60, damping=0.3).log_marginal
         from henbun_tpu.inference.laplace import laplace_whitened
 
-        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
         return laplace_whitened(
-            lambda f: densities.student_t(self.Y, f, self.var, 3.0),
-            Lk,
-            implicit_diff=type(self).implicit,
+            loglik, Lk, implicit_diff=type(self).implicit
         ).log_marginal
 
 
@@ -72,12 +78,17 @@ def main(argv=None):
     ap.add_argument("--unrolled", action="store_true",
                     help="differentiate through the unrolled Newton loop "
                          "instead of the implicit-function-theorem backward")
+    ap.add_argument("--engine", default="laplace", choices=["laplace", "ep"],
+                    help="evidence engine: Newton-mode Laplace (default) or "
+                         "60-sweep damped parallel EP (reverse-mode through "
+                         "the unrolled sweeps)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable [tpu] use_pallas (default-on since round 3)")
     args = ap.parse_args(argv)
     if args.no_pallas:
         hb.settings.tpu.use_pallas = False
     _LaplaceGPR.implicit = not args.unrolled
+    _LaplaceGPR.engine = args.engine
 
     try:
         jax.config.update(
@@ -91,8 +102,9 @@ def main(argv=None):
 
     hb.set_seed(0)
 
-    note("single-model evidence step rate (%s backward)"
-         % ("implicit" if _LaplaceGPR.implicit else "unrolled"))
+    note("single-model evidence step rate (%s)"
+         % ("ep" if args.engine == "ep"
+            else ("implicit" if _LaplaceGPR.implicit else "unrolled")))
     X, Y = _toy(n=args.n, seed=0)
     solo = _LaplaceGPR(seed=0, X=X, Y=Y)
     so = solo.evidence()
@@ -109,11 +121,12 @@ def main(argv=None):
     batched_rate = _time_steps(bo, args.steps)
 
     print(json.dumps({
-        "metric": "batched_laplace_evidence_step_rate_ratio",
+        "metric": "batched_%s_evidence_step_rate_ratio" % args.engine,
         "value": round(batched_rate / single_rate, 3),
         "unit": "batched(x%d) steps/s / single steps/s (>0.5 = win)"
                 % args.models,
-        "backward": "implicit" if _LaplaceGPR.implicit else "unrolled",
+        "backward": "unrolled-sweeps" if args.engine == "ep"
+                    else ("implicit" if _LaplaceGPR.implicit else "unrolled"),
         "use_pallas": bool(hb.settings.tpu.use_pallas),
         "single_steps_per_s": round(single_rate, 1),
         "batched_steps_per_s": round(batched_rate, 1),

@@ -19,6 +19,8 @@ TINY_ARGV = {
     "amortized_svi": ["--n", "4096", "--iters", "200", "--minibatch", "256"],
     "hmc_bnn": ["--chains", "8", "--samples", "50", "--warmup", "50"],
     "smc_tomography": ["--grid", "4", "--particles", "512"],
+    "gp_classification": ["--n-exact", "40", "--n-svgp", "2048",
+                          "--iters", "60"],
     "svgp_natgrad": ["--n", "2048", "--iters", "150"],
     "fleet": ["--models", "8", "--n", "24", "--iters", "200"],
 }
