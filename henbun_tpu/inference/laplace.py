@@ -74,28 +74,32 @@ def _ll_sum(loglik_fn):
     return lambda f: jnp.sum(loglik_fn(f))
 
 
+def _grad_and_curvature(loglik_fn, f):
+    """(d loglik / df, -d2 loglik / df^2), both [n, 1], in ONE
+    forward-over-reverse pass: the likelihood factorizes over datapoints,
+    so its Hessian is diagonal and the Hessian-times-ones JVP of the
+    gradient IS the diagonal — half the AD passes of grad-of-sum-of-grads
+    plus a separate gradient call (kernel count matters in the batched
+    evidence scan, docs/PERF.md §Laplace)."""
+    grad_f = jax.grad(_ll_sum(loglik_fn))
+    g, hv = jax.jvp(grad_f, (f,), (jnp.ones_like(f),))
+    return g, -hv
+
+
 def _curvature(loglik_fn, f):
-    """-d2 loglik / df^2, [n, 1] — diagonal because the likelihood
-    factorizes over datapoints, so grad-of-sum-of-grads recovers it
-    exactly."""
-    ll_sum = _ll_sum(loglik_fn)
-
-    def g_sum(x):
-        return jnp.sum(jax.grad(ll_sum)(x))
-
-    return -jax.grad(g_sum)(f)
+    """-d2 loglik / df^2, [n, 1]."""
+    return _grad_and_curvature(loglik_fn, f)[1]
 
 
 def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
     """The damped saddle-free Newton scan; returns v_star [n, 1]."""
     n = Lk.shape[-1]
     I = jnp.eye(n, dtype=Lk.dtype)
-    grad_f = jax.grad(_ll_sum(loglik_fn))
 
     def step(v, _):
         psi0, f = _psi_parts(loglik_fn, Lk, v)
-        g = grad_f(f)
-        W = jnp.abs(_curvature(loglik_fn, f))  # saddle-free: PD, right scale
+        g, W_true = _grad_and_curvature(loglik_fn, f)
+        W = jnp.abs(W_true)  # saddle-free: PD, right scale
         grad_psi = matmul_hp(jnp.swapaxes(Lk, -1, -2), g) - v  # [n, 1]
         # B = I + Lk^T |W| Lk, PD by construction
         WLk = W * Lk  # rows scaled: (W Lk)_ij = W_i Lk_ij
@@ -116,15 +120,26 @@ def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
         # converges |grad psi| to ~1e-6. Smaller alphas must still STRICTLY
         # improve to override, so far-from-mode damping is unchanged.
         tie_tol = 1e-5 * (1.0 + jnp.abs(psi0))
+        # all four trial points in ONE batched matmul + loglik evaluation:
+        # a Python loop over alphas emitted 4 separate small kernels per
+        # iteration, a material slice of the batched evidence step where
+        # every kernel pays the fixed in-scan launch cost (docs/PERF.md
+        # §Laplace)
+        alphas = jnp.asarray((1.0, 0.3, 0.1, 0.03), Lk.dtype)
+        V_try = v[None] + alphas[:, None, None] * d[None]  # [4, n, 1]
+        F_try = matmul_hp(Lk, V_try)
+        # vmap (not broadcasting) because the closure-converted likelihood
+        # is shape-specialized to [n, 1]
+        psis = jax.vmap(lambda ff: jnp.sum(loglik_fn(ff)))(
+            F_try
+        ) - 0.5 * jnp.sum(V_try * V_try, axis=(-2, -1))  # [4]
         best_v, best_psi = v, psi0
-        for i, alpha in enumerate((1.0, 0.3, 0.1, 0.03)):
-            v_try = v + alpha * d
-            psi_try, _ = _psi_parts(loglik_fn, Lk, v_try)
+        for i in range(4):
             take = (
-                psi_try >= best_psi - tie_tol if i == 0 else psi_try > best_psi
+                psis[i] >= best_psi - tie_tol if i == 0 else psis[i] > best_psi
             )
-            best_v = jnp.where(take, v_try, best_v)
-            best_psi = jnp.where(take, psi_try, best_psi)
+            best_v = jnp.where(take, V_try[i], best_v)
+            best_psi = jnp.where(take, psis[i], best_psi)
         return best_v, None
 
     v0 = jnp.zeros((n, 1), Lk.dtype)
@@ -213,15 +228,9 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
 
     n = Lk.shape[-1]
     I = jnp.eye(n, dtype=Lk.dtype)
-    grad_f = jax.grad(_ll_sum(loglik_fn))
-
-    def curvature(f):
-        return _curvature(loglik_fn, f)
-
     psi, f_star = _psi_parts(loglik_fn, Lk, v_star)
-    g = grad_f(f_star)
-    # TRUE curvature at the mode for the evidence and covariance
-    W = curvature(f_star)
+    # gradient and TRUE curvature at the mode for the evidence/covariance
+    g, W = _grad_and_curvature(loglik_fn, f_star)
     grad_psi = matmul_hp(jnp.swapaxes(Lk, -1, -2), g) - v_star
     WLk = W * Lk
     B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), WLk)

@@ -131,6 +131,21 @@ class GPR(hb.model.Model):
             K, sweeps=60, damping=0.3,
         ).log_marginal
 
+    def predict_f_ep(self, x_new):
+        """EP posterior marginals (mean [n*, 1], var [n*, 1]) of f at new
+        inputs under the robust Student-t likelihood — the moment-matched
+        counterpart of `predict_f_laplace`."""
+        from henbun_tpu.inference.ep import ep_gp, ep_latent_marginals
+        from henbun_tpu.ops.linalg import matmul_hp
+
+        Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
+        K = matmul_hp(Lk, jnp.swapaxes(Lk, -1, -2))
+        loglik = lambda f: densities.student_t(self.Y, f, self.var, 3.0)
+        res = ep_gp(loglik, K, sweeps=60, damping=0.3)
+        Ks = self.kern.K(self.X, x_new) * self.k_var
+        kdiag = self.kern.Kdiag(x_new) * self.k_var[0]
+        return ep_latent_marginals(res, K, Ks, kdiag)
+
     def laplace_student(self):
         """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
         current hyperparameters: evaluate with ``m.run(GPR.laplace_student)``

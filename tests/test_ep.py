@@ -221,3 +221,24 @@ def test_batched_ep_evidence_training():
     e1 = float(bo.run())
     assert np.isfinite(np.concatenate(bo.history)).all()
     assert e1 > e0
+
+
+def test_gpr_predict_f_ep_interpolates_through_outliers():
+    """predict_f_ep: deterministic robust prediction, symmetric with
+    predict_f_laplace — clean-sine interpolation with positive variances
+    that grow off-data."""
+    X, y = _reg_data(n=40, outliers=4, seed=3)
+    m = models.GPR(seed=0, X=X, Y=y)
+    opt = m.log_marginal_ep_student()
+    opt.compile(optax.adam(0.02))
+    opt.optimize(maxiter=300)
+    grid = np.linspace(0, 6, 50, dtype=np.float32)[:, None]
+    mean, var = m.run(lambda mm: mm.predict_f_ep(grid))
+    mean, var = np.asarray(mean), np.asarray(var)
+    assert mean.shape == (50, 1) and var.shape == (50, 1)
+    assert (var >= 0).all()
+    rmse = np.sqrt(np.mean((mean[:, 0] - np.sin(grid[:, 0])) ** 2))
+    assert rmse < 0.35, rmse
+    far = np.asarray([[9.0]], np.float32)
+    _, var_far = m.run(lambda mm: mm.predict_f_ep(far))
+    assert float(var_far[0, 0]) > float(var.min())
