@@ -80,8 +80,9 @@ def main(argv=None):
                          "instead of the implicit-function-theorem backward")
     ap.add_argument("--engine", default="laplace", choices=["laplace", "ep"],
                     help="evidence engine: Newton-mode Laplace (default) or "
-                         "60-sweep damped parallel EP (reverse-mode through "
-                         "the unrolled sweeps)")
+                         "60-sweep damped parallel EP (stationarity "
+                         "gradients — sites stop-gradient'd at the fixed "
+                         "point)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable [tpu] use_pallas (default-on since round 3)")
     args = ap.parse_args(argv)
@@ -125,7 +126,7 @@ def main(argv=None):
         "value": round(batched_rate / single_rate, 3),
         "unit": "batched(x%d) steps/s / single steps/s (>0.5 = win)"
                 % args.models,
-        "backward": "unrolled-sweeps" if args.engine == "ep"
+        "backward": "stationarity" if args.engine == "ep"
                     else ("implicit" if _LaplaceGPR.implicit else "unrolled"),
         "use_pallas": bool(hb.settings.tpu.use_pallas),
         "single_steps_per_s": round(single_rate, 1),

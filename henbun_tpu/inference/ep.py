@@ -110,15 +110,24 @@ def _tilted_moments(loglik_fn, m_c, v_c, deg):
 
 
 def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
-          tau_cav_floor=1e-6):
+          tau_cav_floor=1e-6, implicit_diff=True):
     """Parallel EP for f ~ N(0, K) with factorizing likelihood.
 
     loglik_fn: f [n, deg] -> elementwise log-likelihood [n, deg] (close over
     the observations with a trailing broadcast axis, like the quadrature
     ELBOs do). K: [n, n] prior covariance (scale it by the kernel variance
-    BEFORE calling). Returns :class:`EPResult`; differentiable w.r.t.
-    everything `loglik_fn` and `K` close over by reverse-mode through the
-    unrolled sweeps.
+    BEFORE calling). Returns :class:`EPResult`.
+
+    Differentiable w.r.t. everything `loglik_fn` and `K` close over. By
+    default via the EP STATIONARITY property (GPML sec. 5.5.2): at the EP
+    fixed point log Z_EP is stationary in the site parameters, so the exact
+    hyperparameter gradient is the partial derivative with the sites held
+    fixed — implemented by stop_gradient on the converged (nu, tau), which
+    makes the backward pay ONE final posterior/evidence section instead of
+    reverse-mode through all `sweeps` unrolled sweeps. The premise is
+    convergence: check `delta` ~ 0 (a test pins implicit-vs-unrolled
+    gradient agreement on a converged classification fit).
+    `implicit_diff=False` differentiates through the unrolled sweeps.
     """
     if jitter is None:
         jitter = settings.numerics.jitter_level
@@ -151,6 +160,9 @@ def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
     (nu, tau), deltas = jax.lax.scan(
         sweep, (nu0, tau0), None, length=int(sweeps)
     )
+    if implicit_diff:
+        nu = jax.lax.stop_gradient(nu)
+        tau = jax.lax.stop_gradient(tau)
 
     # final posterior + evidence from the converged sites
     mu, sig2, Lb = _posterior_from_sites(K, nu, tau, jitter)
