@@ -115,7 +115,8 @@ def main(argv=None):
         steps_per_s = args.steps / best
         elbo_tail = float(np.mean(opt.history[-1][-100:]))
         print(json.dumps({
-            "metric": "svgp_%s_%s_steps_per_s" % (family, objective.lower()),
+            "metric": "svgp_%s_%s_%s_steps_per_s"
+                      % (family, objective.lower(), opt_name),
             "value": round(steps_per_s, 1),
             "unit": "steps/s/chip (n=%d, m=%d, B=%d, %s)"
                     % (args.n, args.m, args.minibatch, opt_name),

@@ -42,7 +42,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -105,7 +104,9 @@ def _tilted_moments(loglik_fn, m_c, v_c, deg):
     logZ = jax.scipy.special.logsumexp(a, axis=-1)
     p = jax.nn.softmax(a, axis=-1)
     m_hat = jnp.sum(p * f, axis=-1)
-    v_hat = jnp.sum(p * jnp.square(f), axis=-1) - jnp.square(m_hat)
+    # centered second moment: the E[f^2] - m^2 form cancels catastrophically
+    # in f32 when a floored cavity puts m_c ~ 1e5
+    v_hat = jnp.sum(p * jnp.square(f - m_hat[:, None]), axis=-1)
     return logZ, m_hat, v_hat
 
 
@@ -134,13 +135,25 @@ def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
     n = K.shape[-1]
     dtype = K.dtype
 
+    def cavity(mu, sig2, nu, tau):
+        """Natural-parameter cavity with a CONSISTENT precision floor: when
+        1/sig2 - tau falls below the floor (possible for non-log-concave
+        likelihoods whose site precision transiently reaches the marginal's),
+        zero nu_c too — a flat cavity, not one with precision 1e-6 and an
+        unadjusted O(0.1) shift whose mean m_c = nu_c/tau_c ~ 1e5 wrecks the
+        f32 tilted moments and puts ~nu_c^2/(2 tau_c) ~ 1e9 into the
+        evidence's site terms."""
+        raw = 1.0 / sig2 - tau
+        clamped = raw < tau_cav_floor
+        tau_c = jnp.where(clamped, tau_cav_floor, raw)
+        nu_c = jnp.where(clamped, 0.0, mu / sig2 - nu)
+        return tau_c, nu_c
+
     def sweep(carry, _):
         nu, tau = carry
         mu, sig2, _ = _posterior_from_sites(K, nu, tau, jitter)
         sig2 = jnp.maximum(sig2, 1e-10)
-        # cavity in natural parameters; floor keeps it a proper Gaussian
-        tau_c = jnp.maximum(1.0 / sig2 - tau, tau_cav_floor)
-        nu_c = mu / sig2 - nu
+        tau_c, nu_c = cavity(mu, sig2, nu, tau)
         m_c = nu_c / tau_c
         v_c = 1.0 / tau_c
         _, m_hat, v_hat = _tilted_moments(loglik_fn, m_c, v_c, deg)
@@ -167,8 +180,7 @@ def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
     # final posterior + evidence from the converged sites
     mu, sig2, Lb = _posterior_from_sites(K, nu, tau, jitter)
     sig2 = jnp.maximum(sig2, 1e-10)
-    tau_c = jnp.maximum(1.0 / sig2 - tau, tau_cav_floor)
-    nu_c = mu / sig2 - nu
+    tau_c, nu_c = cavity(mu, sig2, nu, tau)
     m_c = nu_c / tau_c
     v_c = 1.0 / tau_c
     logZ_hat, _, _ = _tilted_moments(loglik_fn, m_c, v_c, deg)
@@ -213,10 +225,12 @@ def ep_latent_marginals(res, K, Ks, kdiag, jitter=None):
     Lb = safe_cholesky(B, jitter)
     Knu = matmul_hp(K, res.nu[:, None])
     z = tri_solve(Lb, sw[:, None] * Knu)
+    from ..ops.linalg import _tri_solve_T_dispatch
+
     half = tri_solve(Lb, sw[:, None] * Ks)  # [n, n*]
-    alpha = res.nu[:, None] - sw[:, None] * jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(Lb, -1, -2), z, lower=False
-    )
+    # L^T solve through the dispatch so batched traces take the Pallas
+    # kernel, like the forward solves above and laplace's _newton_mode_bwd
+    alpha = res.nu[:, None] - sw[:, None] * _tri_solve_T_dispatch(Lb, z)
     mean = matmul_hp(jnp.swapaxes(Ks, -1, -2), alpha)  # [n*, 1]
     var = jnp.maximum(kdiag - jnp.sum(jnp.square(half), axis=0), 0.0)[:, None]
     return mean, var

@@ -284,10 +284,7 @@ def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):
     A = tri_solve(Lk, Ks)  # [n, n*]
     mean = matmul_hp(jnp.swapaxes(A, -1, -2), res.v_mode)  # [n*, 1]
 
-    def ll_sum(f):
-        return jnp.sum(loglik_fn(f))
-
-    W = -jax.grad(lambda x: jnp.sum(jax.grad(ll_sum)(x)))(res.f_mode)
+    W = _curvature(loglik_fn, res.f_mode)
     B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
     Lb = safe_cholesky(B, jitter)
     G = tri_solve(Lb, A)

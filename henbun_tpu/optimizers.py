@@ -327,8 +327,17 @@ def natural_gradient(model, gamma=0.1, rest=None, adaptive=False):
                     _natgrad_full, mu, L, gmu, gL, g_node, True
                 )
                 q_n = fill_triangular_inverse(L_n)
-            else:  # pragma: no cover - unknown family, leave to `rest`
-                continue
+            else:  # pragma: no cover - unreachable: Variational.__init__
+                # asserts exactly the three families above. Raise rather
+                # than skip: a silent skip would emit an updates dict
+                # missing this pair's keys (tree-structure mismatch in the
+                # driver) and drop its gamma_scale entry from the carried
+                # state — both far harder to debug than this.
+                raise NotImplementedError(
+                    "natural_gradient has no update rule for q_shape=%r; "
+                    "add one or keep the node out of the natgrad collection"
+                    % (q_shape,)
+                )
             updates[mu_p] = mu_n - mu
             updates[sq_p] = q_n - q
             if adaptive:
