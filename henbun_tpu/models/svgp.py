@@ -102,6 +102,16 @@ class SVGPRegression(hb.model.Model):
         )
         return f + jnp.sqrt(self.var) * eps
 
+    def predict_f_marginals(self, x_new):
+        """DETERMINISTIC posterior marginals (mean [n*, 1], var [n*, 1]) of
+        f at new inputs — the closed-form counterpart of averaging
+        `predict_f` draws (same `_whitened_marginals` algebra the analytic
+        ELBO trains against), no sampling noise."""
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], jnp.asarray(x_new), self.k_var
+        )
+        return fmean[:, None], fvar[:, None]
+
     @hb.AutoOptimize()
     def ELBO(self):
         f = self.f()[0][:, None]  # [|B|, 1]
@@ -166,6 +176,20 @@ class SVGPClassification(hb.model.Model):
         """Samples of p(y=1 | x_new); average draws for the posterior
         predictive probability."""
         return jax.nn.sigmoid(self.logit_f(jnp.asarray(x_new), q_shape))
+
+    def predict_p_mean(self, x_new, deg=20):
+        """DETERMINISTIC posterior predictive p(y=1 | x_new) [n*, 1]:
+        Gauss-Hermite quadrature of the sigmoid over the whitened latent
+        marginals — no draws, matching GPC.predict_p's contract."""
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], jnp.asarray(x_new), self.k_var
+        )
+        p = gauss_hermite_expectation(
+            lambda f: jax.nn.sigmoid(f), fmean, fvar, deg=deg
+        )
+        return p[:, None]
 
     @hb.AutoOptimize()
     def ELBO(self):

@@ -261,3 +261,39 @@ def test_svgp_classification_quadrature_natgrad_matches_gpc_oracle():
     p_svgp = p_draws.mean(0)
     assert np.abs(p_svgp - p_gpc).mean() < 0.05, np.abs(p_svgp - p_gpc).mean()
     assert np.abs(p_svgp - pt).mean() < 0.05, np.abs(p_svgp - pt).mean()
+
+
+class TestSVGPDeterministicPrediction:
+    def test_predict_f_marginals_match_draw_statistics(self):
+        """The closed-form marginals must equal the mean/var of many
+        predict_f draws (same posterior, sampled vs integrated)."""
+        X, Y = models.make_sine_dataset(n=512, seed=0)
+        m = models.SVGPRegression(seed=0, X=X, Y=Y, num_inducing=16)
+        opt = m.ELBO()
+        opt.compile(optax.adam(0.02))
+        opt.optimize(maxiter=500, minibatch_size=128)
+        grid = np.linspace(0, 6, 20, dtype=np.float32)[:, None]
+        mean, var = m.run(lambda mm: mm.predict_f_marginals(grid))
+        draws = np.asarray(
+            m.draws(lambda mm: mm.predict_f(grid, q_shape="fullrank")[0], 4000)
+        )
+        assert np.allclose(np.asarray(mean)[:, 0], draws.mean(0), atol=0.05)
+        assert np.allclose(
+            np.asarray(var)[:, 0], draws.var(0), rtol=0.15, atol=0.01
+        )
+
+    def test_predict_p_mean_matches_draw_average(self):
+        X, Y = models.make_sine_dataset(n=512, seed=1)
+        Yc = (Y > 0).astype(np.float32)
+        m = models.SVGPClassification(seed=0, X=X, Y=Yc, num_inducing=16)
+        opt = m.ELBO_quadrature()
+        opt.compile(optax.adam(0.02))
+        opt.optimize(maxiter=500, minibatch_size=128)
+        grid = np.linspace(0, 6, 20, dtype=np.float32)[:, None]
+        p_det = np.asarray(m.run(lambda mm: mm.predict_p_mean(grid)))
+        p_draws = np.asarray(
+            m.draws(lambda mm: mm.predict_p(grid, q_shape="fullrank")[0], 4000)
+        )
+        assert p_det.shape == (20, 1)
+        assert ((p_det > 0) & (p_det < 1)).all()
+        assert np.allclose(p_det[:, 0], p_draws.mean(0), atol=0.02)
