@@ -49,6 +49,7 @@ from . import inference
 from . import parallel
 from . import utils
 from . import io
+from . import serving
 
 # `hb.param.*` API surface, as in the reference package layout
 from . import param

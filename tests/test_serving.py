@@ -1,0 +1,110 @@
+"""Serving / AOT export (henbun_tpu/serving.py).
+
+Contract: an exported artifact is (1) numerically identical to the in-process
+model call, (2) self-contained — callable from the serialized bytes alone
+after the model object is gone, (3) optionally batch-size polymorphic so one
+artifact serves any request size. The reference has no serving path
+(prediction is session.run in the training process, Henbun/model.py:84-96).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu import serving
+from henbun_tpu.models import GPR, GPRMarginal, make_sine_dataset
+
+
+@pytest.fixture(scope="module")
+def fitted_marginal():
+    hb.set_seed(0)
+    X, Y = make_sine_dataset(n=30)
+    m = GPRMarginal(X=X, Y=Y)
+    m.log_marginal().compile(optax.adam(0.05)).optimize(maxiter=300)
+    return m
+
+
+def test_predictor_roundtrip_matches_model(fitted_marginal, tmp_path):
+    m = fitted_marginal
+    grid = np.linspace(-1.0, 7.0, 50).reshape(-1, 1).astype(np.float32)
+    mean0, var0 = m.run(lambda mm: mm.predict_f(grid))
+
+    art = serving.export_predictor(m, GPRMarginal.predict_f, grid)
+    mean1, var1 = art(jnp.asarray(grid))
+    np.testing.assert_allclose(mean0, mean1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(var0, var1, rtol=1e-5, atol=1e-6)
+
+    # disk roundtrip: bytes -> file -> fresh artifact, same numbers
+    p = tmp_path / "gpr_predictor.hlo"
+    art.save(p)
+    art2 = serving.load(p)
+    mean2, var2 = art2(jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2))
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2))
+    assert "cpu" in art2.platforms
+
+
+def test_artifact_is_self_contained(fitted_marginal):
+    grid = np.linspace(0.0, 6.0, 20).reshape(-1, 1).astype(np.float32)
+    blob = serving.export_predictor(
+        fitted_marginal, "predict_f", grid
+    ).serialize()
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+    # deserialize into a world with no model object at all
+    art = serving.deserialize(bytes(blob))
+    mean, var = art(jnp.asarray(grid))
+    assert mean.shape == (20, 1) and var.shape == (20, 1)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(var) >= 0).all()
+
+
+def test_batch_polymorphic_serves_any_size(fitted_marginal):
+    grid8 = np.linspace(0, 6, 8).reshape(-1, 1).astype(np.float32)
+    art = serving.export_predictor(
+        fitted_marginal, GPRMarginal.predict_f, grid8, batch_polymorphic=True
+    )
+    for n in (3, 8, 57):
+        g = np.linspace(0, 6, n).reshape(-1, 1).astype(np.float32)
+        mean, var = art(jnp.asarray(g))
+        assert mean.shape == (n, 1)
+        ref_mean, _ = fitted_marginal.run(lambda mm: mm.predict_f(g))
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sampler_export_reproducible_draws():
+    hb.set_seed(1)
+    X, Y = make_sine_dataset(n=20)
+    m = GPR(X=X, Y=Y, q_shape="diagonal")
+    m.ELBO_gaussian().compile(optax.adam(0.05)).optimize(maxiter=200)
+
+    grid = np.linspace(0, 6, 15).reshape(-1, 1).astype(np.float32)
+    art = serving.export_sampler(m, GPR.predict_f, 16, grid)
+    s0 = np.asarray(art(np.uint32(7), jnp.asarray(grid)))
+    s1 = np.asarray(art(np.uint32(7), jnp.asarray(grid)))
+    s2 = np.asarray(art(np.uint32(8), jnp.asarray(grid)))
+    assert s0.shape == (16, 15, 1)
+    np.testing.assert_array_equal(s0, s1)  # same seed, same draws
+    assert np.abs(s0 - s2).max() > 1e-6    # fresh seed, fresh noise
+    # draws spread around a sane posterior: band contains the truth
+    mean = s0.mean(axis=0)[:, 0]
+    assert np.abs(mean - np.sin(grid[:, 0])).max() < 1.0
+
+
+def test_exported_constants_are_frozen(fitted_marginal):
+    """Mutating the model after export must not change the artifact."""
+    m = fitted_marginal
+    grid = np.linspace(0, 6, 10).reshape(-1, 1).astype(np.float32)
+    art = serving.export_predictor(m, "predict_f", grid)
+    before = np.asarray(art(jnp.asarray(grid))[0])
+    old = np.asarray(m.k_var.value)
+    try:
+        m.k_var = old * 5.0
+        live_mean = np.asarray(m.run(lambda mm: mm.predict_f(grid))[0])
+        frozen_mean = np.asarray(art(jnp.asarray(grid))[0])
+        np.testing.assert_array_equal(before, frozen_mean)
+        assert np.abs(live_mean - frozen_mean).max() > 0  # the live model moved
+    finally:
+        m.k_var = old
