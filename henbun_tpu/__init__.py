@@ -26,6 +26,21 @@ Usage mirrors the reference:
 """
 from ._version import __version__
 
+# Restore standard JAX behavior for an EXPLICIT platform request: some
+# environments force-register an accelerator backend from sitecustomize, in
+# which case the documented `JAX_PLATFORMS=cpu` env var silently loses.
+# jax.config wins over both, so honor the env var here (no-op when unset or
+# when backends are already initialized).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # backends already initialized — leave them be
+        pass
+
 from . import _settings
 from ._settings import settings
 

@@ -9,3 +9,4 @@ from .amortized import AmortizedRegression, make_synthetic_regression
 from .bnn import BNN, VariationalBNN, make_bnn_dataset
 from .svgp import SVGPRegression, SVGPClassification
 from .gpc import GPC
+from .hetero import HeteroscedasticGPR, make_hetero_dataset

@@ -1,0 +1,208 @@
+"""Heteroscedastic GP regression: input-dependent noise.
+
+Two whitened latent GPs — f for the mean, g for the LOG noise variance —
+with y ~ N(f(x), exp(g(x))). This is the canonical workload for the
+reference's amortized/variational design (input-dependent variance is the
+motivating example of encoder-fed variational models in the GPflow lineage
+the reference descends from, `/root/reference/README.md:14-21`), but the
+reference ships no such model; its GPR fixes one scalar noise variance
+(`/root/reference/notebooks/GaussianProcess.ipynb` cell 9).
+
+TPU-native twist: under independent Gaussian marginals q(f_i)=N(mf, vf),
+q(g_i)=N(mg, vg), the expected log-likelihood is CLOSED FORM —
+
+    E[log N(y | f, e^g)] = -0.5 log 2pi - 0.5 mg
+                           - 0.5 ((y - mf)^2 + vf) * exp(-mg + vg/2)
+
+(E[e^{-g}] is the lognormal mean) — so `ELBO_analytic` is deterministic
+given the data: zero gradient variance, natural-gradient trainable, and one
+XLA program with no per-step sampling at all. `ELBO_mc` keeps the
+reference-style single-sample estimator for parity/cross-checking.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+import henbun_tpu as hb
+from henbun_tpu import densities
+from henbun_tpu.ops.linalg import fill_triangular, matmul_hp, tri_solve
+
+_HALF_LOG_2PI = 0.5 * float(np.log(2.0 * np.pi))
+
+
+def whitened_q_marginals(q_node, Lk):
+    """Marginals (mean [n, 1], var [n]) of h = Lk @ q for a whitened
+    Gaussian variational node q = scale * N(mu, L L^T) (any q_shape).
+
+    The shared kernel of GPR._f_marginals, reusable across latent GPs."""
+    mu = q_node.q_mu
+    s = jnp.reshape(q_node.scale, ())
+    mean = s * matmul_hp(Lk, mu[:, None])
+    if q_node.q_shape == "diagonal":
+        var = jnp.square(s) * (jnp.square(Lk) @ jnp.exp(2.0 * q_node.q_sqrt))
+    else:
+        Lq = (
+            fill_triangular(q_node.q_sqrt, q_node.size)
+            if q_node.q_shape == "fullrank_packed"
+            else jnp.tril(q_node.q_sqrt)
+        )
+        A = matmul_hp(Lk, Lq)
+        var = jnp.square(s) * jnp.sum(jnp.square(A), axis=1)
+    return mean, var
+
+
+def whitened_q_marginals_at(q_node, kern, Lk, X, x_new):
+    """Posterior marginals (mean [n*, 1], var [n*]) of the latent GP at NEW
+    inputs under the whitened q: with A = Lk^-1 K(X, x*),
+
+        E[h*] = A^T (s mu)
+        V[h*] = kdiag(x*) - colnorm(A)^2 + s^2 colnorm(Lq^T A)^2
+    """
+    A = tri_solve(Lk, kern.K(X, x_new))  # [n, n*]
+    mu = q_node.q_mu
+    s = jnp.reshape(q_node.scale, ())
+    mean = s * (jnp.swapaxes(A, -1, -2) @ mu[:, None])  # [n*, 1]
+    kdiag = kern.Kdiag(x_new)
+    explained = jnp.sum(jnp.square(A), axis=0)
+    if q_node.q_shape == "diagonal":
+        qpart = jnp.square(s) * (
+            jnp.exp(2.0 * q_node.q_sqrt) @ jnp.square(A)
+        )  # e^{2r} summed against A_j*^2
+    else:
+        Lq = (
+            fill_triangular(q_node.q_sqrt, q_node.size)
+            if q_node.q_shape == "fullrank_packed"
+            else jnp.tril(q_node.q_sqrt)
+        )
+        G = matmul_hp(jnp.swapaxes(Lq, -1, -2), A)  # [n, n*]
+        qpart = jnp.square(s) * jnp.sum(jnp.square(G), axis=0)
+    # f32 cancellation at near-training inputs can push this slightly
+    # negative (same clamp as GPRMarginal.predict / laplace_latent_marginals)
+    var = jnp.maximum(kdiag - explained + qpart, 0.0)
+    return mean, var
+
+
+class HeteroscedasticGPR(hb.model.Model):
+    """y ~ N(f(x), exp(g(x))) with independent whitened GP posteriors over
+    f and g. `g0` is the trainable mean log-noise level (so kern_g models
+    the *variation* of the noise around it)."""
+
+    def setUp(self, X, Y, q_shape="fullrank", kern_f=None, kern_g=None,
+              analytic_kl=True):
+        self.X = hb.Data(X)
+        self.Y = hb.Data(Y)
+        self.q_f = hb.variationals.Gaussian(
+            shape=list(X.shape), q_shape=q_shape, analytic_kl=analytic_kl
+        )
+        # q_g MUST start tight: the default fullrank init has marginal
+        # variance ~n, and the objective exponentiates it —
+        # exp(gvar/2) overflows float32 at n >~ 80 (measured: -inf analytic
+        # ELBO, 1e14-scale MC values at n=120). stddev=0.1 puts the init
+        # variance at ~0.01 n via the scale split.
+        self.q_g = hb.variationals.Gaussian(
+            shape=list(X.shape), q_shape=q_shape, analytic_kl=analytic_kl,
+            stddev=0.1,
+        )
+        if q_shape == "fullrank":
+            # the dense fullrank init puts ~stddev in EVERY entry
+            # (variationals.py), giving init marginal variances O(n^2/4) —
+            # harmless in GPR's linear-in-variance ELBO but fatal here, where
+            # the objective exponentiates gvar (exp(gvar/2) overflows f32 at
+            # n >~ 40: measured -inf/-1e22 ELBOs). Start both factors
+            # near-identity instead (the same cure as SVGP's q(u) init).
+            n = int(np.prod(X.shape))
+            eye = np.eye(n, dtype=np.asarray(Y).dtype)
+            for qn in (self.q_f, self.q_g):
+                qn.q_sqrt.set_free_value(
+                    eye + 0.01 * np.asarray(qn.q_sqrt.free_value)
+                )
+        self.kern_f = kern_f if kern_f is not None else hb.gp.kernels.UnitRBF()
+        self.kern_g = kern_g if kern_g is not None else hb.gp.kernels.UnitRBF()
+        self.k_var_f = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.k_var_g = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.g0 = hb.Variable(shape=[1], mean=-2.0)  # mean log noise variance
+
+    # ------------------------------------------------------------- internals
+    def _marginals(self):
+        """Closed-form marginals of f and g under q (means [n,1], vars [n])."""
+        Lkf = self.kern_f.Cholesky(self.X)
+        Lkg = self.kern_g.Cholesky(self.X)
+        fmean, fvar = whitened_q_marginals(self.__dict__["q_f"], Lkf)
+        gmean, gvar = whitened_q_marginals(self.__dict__["q_g"], Lkg)
+        fmean = fmean * jnp.sqrt(self.k_var_f)
+        fvar = fvar * self.k_var_f[0]
+        gmean = gmean * jnp.sqrt(self.k_var_g) + self.g0
+        gvar = gvar * self.k_var_g[0]
+        return fmean, fvar, gmean, gvar
+
+    # ------------------------------------------------------------ objectives
+    @hb.AutoOptimize()
+    def ELBO_mc(self):
+        """Reference-style single-sample reparameterized estimator."""
+        f = matmul_hp(self.kern_f.Cholesky(self.X), self.q_f) * jnp.sqrt(
+            self.k_var_f
+        )
+        g = (
+            matmul_hp(self.kern_g.Cholesky(self.X), self.q_g)
+            * jnp.sqrt(self.k_var_g)
+            + self.g0
+        )
+        return jnp.sum(densities.gaussian(self.Y, f, jnp.exp(g))) - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_analytic(self):
+        """Deterministic ELBO: closed-form expected log-likelihood (the
+        E[e^{-g}] lognormal-mean identity) + analytic KLs. Zero gradient
+        variance; pair with Adam or low-gamma natural gradients (the
+        objective is deterministic but NOT conjugate — the exp(-g) coupling
+        breaks the unit-step exactness of the conjugate case)."""
+        fmean, fvar, gmean, gvar = self._marginals()
+        r2 = jnp.square(self.Y - fmean) + fvar[:, None]
+        e_inv_noise = jnp.exp(-gmean + gvar[:, None] / 2.0)
+        ell = jnp.sum(-_HALF_LOG_2PI - 0.5 * gmean - 0.5 * r2 * e_inv_noise)
+        return ell - self.KL()
+
+    # ------------------------------------------------------------ prediction
+    def predict_y(self, x_new):
+        """Predictive mean and variance of y at new inputs, deterministic:
+
+            E[y*]  = E[f*]
+            V[y*]  = V[f*] + E[e^{g*}] = V[f*] + exp(E[g*] + V[g*]/2)
+
+        Returns (mean [n*, 1], var [n*, 1])."""
+        X = self.X
+        q_f, q_g = self.__dict__["q_f"], self.__dict__["q_g"]
+        Lkf = self.kern_f.Cholesky(X)
+        Lkg = self.kern_g.Cholesky(X)
+        x_new = jnp.asarray(x_new)
+        fmean, fvar = whitened_q_marginals_at(q_f, self.kern_f, Lkf, X, x_new)
+        gmean, gvar = whitened_q_marginals_at(q_g, self.kern_g, Lkg, X, x_new)
+        fmean = fmean * jnp.sqrt(self.k_var_f)
+        fvar = fvar * self.k_var_f[0]
+        gmean = gmean * jnp.sqrt(self.k_var_g) + self.g0
+        gvar = gvar * self.k_var_g[0]
+        noise = jnp.exp(gmean + gvar[:, None] / 2.0)
+        return fmean, fvar[:, None] + noise
+
+    def predict_g(self, x_new):
+        """Posterior marginals (mean [n*, 1], var [n*, 1]) of the log noise
+        variance g at new inputs."""
+        X = self.X
+        Lkg = self.kern_g.Cholesky(X)
+        gmean, gvar = whitened_q_marginals_at(
+            self.__dict__["q_g"], self.kern_g, Lkg, X, jnp.asarray(x_new)
+        )
+        gmean = gmean * jnp.sqrt(self.k_var_g) + self.g0
+        gvar = gvar * self.k_var_g[0]
+        return gmean, gvar[:, None]
+
+
+def make_hetero_dataset(n=120, seed=0):
+    """y = sin(x) + eps, eps ~ N(0, sd(x)^2) with sd rising from 0.05 to
+    ~0.45 across [0, 6] — the canonical heteroscedastic test bed."""
+    rng = np.random.default_rng(seed)
+    X = np.linspace(0, 6, n).reshape(-1, 1).astype(np.float32)
+    sd = 0.05 + 0.4 / (1.0 + np.exp(-2.0 * (X - 3.0)))
+    Y = (np.sin(X) + rng.normal(size=X.shape) * sd).astype(np.float32)
+    return X, Y, sd.astype(np.float32)

@@ -24,6 +24,7 @@ TINY_ARGV = {
     "svgp_natgrad": ["--n", "2048", "--iters", "150"],
     "fleet": ["--models", "8", "--n", "24", "--iters", "200"],
     "serving_export": ["--iters", "300", "--n", "24"],
+    "heteroscedastic": ["--iters", "400", "--n", "48"],
 }
 
 
