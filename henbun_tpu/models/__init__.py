@@ -10,3 +10,4 @@ from .bnn import BNN, VariationalBNN, make_bnn_dataset
 from .svgp import SVGPRegression, SVGPClassification
 from .gpc import GPC
 from .hetero import HeteroscedasticGPR, make_hetero_dataset
+from .multioutput import MultiOutputGPR, make_multioutput_dataset

@@ -25,6 +25,7 @@ TINY_ARGV = {
     "fleet": ["--models", "8", "--n", "24", "--iters", "200"],
     "serving_export": ["--iters", "300", "--n", "24"],
     "heteroscedastic": ["--iters", "400", "--n", "48"],
+    "multioutput": ["--iters", "500", "--n", "40"],
 }
 
 
