@@ -11,3 +11,4 @@ from .svgp import SVGPRegression, SVGPClassification
 from .gpc import GPC
 from .hetero import HeteroscedasticGPR, make_hetero_dataset
 from .multioutput import MultiOutputGPR, make_multioutput_dataset
+from .deepgp import DeepGPRegression, make_step_dataset

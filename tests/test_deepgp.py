@@ -1,0 +1,90 @@
+"""Doubly-stochastic deep GP (models/deepgp.py).
+
+Gates: (1) the two-layer model trains end-to-end by minibatch SVI and fits
+the step function tightly away from the jump; (2) it beats a single-layer
+SVGP with the same inducing budget on the same data (the point of depth: a
+stationary one-layer GP must trade the jump against the flat regions);
+(3) the hidden layer learns a genuine warp (non-affine in x); (4) predictive
+draws have sane coverage.
+"""
+import numpy as np
+import optax
+import pytest
+
+import henbun_tpu as hb
+from henbun_tpu.models import (
+    DeepGPRegression,
+    SVGPRegression,
+    make_step_dataset,
+)
+
+GRID = np.linspace(-0.9, 0.9, 61).reshape(-1, 1).astype(np.float32)
+TRUTH = (GRID > 0).astype(np.float32)
+AWAY = np.abs(GRID[:, 0]) > 0.1  # exclude the jump neighborhood
+
+
+def _rmse(pred):
+    return float(np.sqrt(np.mean((pred[AWAY] - TRUTH[AWAY, 0]) ** 2)))
+
+
+@pytest.fixture(scope="module")
+def step_fits():
+    hb.set_seed(0)
+    X, Y = make_step_dataset(n=400, seed=0)
+
+    dgp = DeepGPRegression(seed=0, X=X, Y=Y, num_inducing=32)
+    dgp.ELBO().compile(optax.adam(0.01)).optimize(
+        maxiter=6000, minibatch_size=128
+    )
+    svgp = SVGPRegression(seed=0, X=X, Y=Y, num_inducing=32)
+    svgp.ELBO().compile(optax.adam(0.01)).optimize(
+        maxiter=6000, minibatch_size=128
+    )
+
+    dgp_mean = np.asarray(
+        dgp.draws(lambda m: m.predict_f(GRID), 64)
+    ).mean(0)[:, 0]
+    svgp_mean = np.asarray(
+        svgp.draws(lambda m: m.predict_f(GRID)[0], 64)
+    ).mean(0)
+    return dgp, dgp_mean, svgp_mean
+
+
+def test_fits_step_function(step_fits):
+    dgp, dgp_mean, svgp_mean = step_fits
+    assert _rmse(dgp_mean) < 0.1, _rmse(dgp_mean)
+    # plateaus are genuinely flat at the right levels
+    assert abs(dgp_mean[GRID[:, 0] < -0.3].mean() - 0.0) < 0.06
+    assert abs(dgp_mean[GRID[:, 0] > 0.3].mean() - 1.0) < 0.06
+
+
+def test_depth_beats_single_layer(step_fits):
+    dgp, dgp_mean, svgp_mean = step_fits
+    assert _rmse(dgp_mean) < _rmse(svgp_mean), (
+        _rmse(dgp_mean),
+        _rmse(svgp_mean),
+    )
+
+
+def test_hidden_layer_warps_input(step_fits):
+    """The learned h(x) must be non-affine: a linear warp cannot help a
+    stationary kernel fit a step, so depth only pays via real warping."""
+    dgp, _, _ = step_fits
+    h = np.asarray(
+        dgp.draws(lambda m: m.hidden(GRID), 64)
+    ).mean(0)[:, 0]
+    # least-squares affine fit of h on x; a genuine warp leaves residual
+    x = GRID[:, 0]
+    A = np.stack([x, np.ones_like(x)], 1)
+    coef, *_ = np.linalg.lstsq(A, h, rcond=None)
+    resid = h - A @ coef
+    rel = np.sqrt(np.mean(resid**2)) / (np.std(h) + 1e-9)
+    assert rel > 0.15, rel
+
+
+def test_predictive_coverage(step_fits):
+    dgp, _, _ = step_fits
+    draws = np.asarray(dgp.draws(lambda m: m.predict_y(GRID), 200))[:, :, 0]
+    lo, hi = np.quantile(draws, [0.025, 0.975], axis=0)
+    cover = np.mean((TRUTH[:, 0] >= lo) & (TRUTH[:, 0] <= hi))
+    assert cover > 0.8, cover

@@ -26,6 +26,7 @@ TINY_ARGV = {
     "serving_export": ["--iters", "300", "--n", "24"],
     "heteroscedastic": ["--iters", "400", "--n", "48"],
     "multioutput": ["--iters", "500", "--n", "40"],
+    "deep_gp": ["--iters", "600", "--n", "120", "--minibatch", "64"],
 }
 
 
