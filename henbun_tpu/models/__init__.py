@@ -7,7 +7,12 @@ from .expert_gpr import ExpertGPR, make_expert_dataset
 from .linear import VariationalLinearModel, MAPLinearModel, make_linear_dataset
 from .amortized import AmortizedRegression, make_synthetic_regression
 from .bnn import BNN, VariationalBNN, make_bnn_dataset
-from .svgp import SVGPRegression, SVGPClassification
+from .svgp import (
+    SVGPRegression,
+    SVGPClassification,
+    SVGPCount,
+    SVGPMulticlass,
+)
 from .gpc import GPC
 from .hetero import HeteroscedasticGPR, make_hetero_dataset
 from .multioutput import MultiOutputGPR, make_multioutput_dataset

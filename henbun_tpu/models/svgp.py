@@ -223,3 +223,127 @@ class SVGPClassification(hb.model.Model):
         ell = jnp.sum(gauss_hermite_expectation(log_lik, fmean, fvar))
         batch = fmean.shape[0]
         return (self.n_data / batch) * ell - self.KL()
+
+
+class SVGPCount(hb.model.Model):
+    """Count regression (log-Gaussian Cox style): y ~ Poisson(exp(f)).
+
+    The exp link makes the expected log-likelihood CLOSED FORM under the
+    Gaussian marginals q(f_i) = N(m_i, v_i):
+
+        E[log Poisson(y | e^f)] = y m - exp(m + v/2) - log y!
+
+    (E[e^f] is the lognormal mean), so `ELBO_analytic` is deterministic given
+    the minibatch — zero gradient variance on a NON-conjugate likelihood with
+    no quadrature at all. The reference ships `densities.poisson` with no
+    consumer (`/root/reference/Henbun/densities.py:39-41`); this family puts
+    it to work. Counts y are float arrays of non-negative integers.
+    """
+
+    def setUp(self, X, Y, num_inducing=32, q_shape="fullrank"):
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(Y)
+        self.n_data = X.shape[0]
+        z = np.quantile(
+            X, np.linspace(0.0, 1.0, num_inducing), axis=0
+        ).astype(np.float32)
+        self.gp = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z)
+        self.u = hb.variationals.Normal(
+            shape=[1, num_inducing], q_shape=q_shape, analytic_kl=True
+        )
+        if q_shape == "fullrank":
+            self.u.q_sqrt = np.eye(num_inducing, dtype=np.float32)
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        # mean log-rate offset (counts are rarely centered on rate 1)
+        self.f0 = hb.Variable(shape=[1])
+
+    def _marginals(self, x):
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], x, self.k_var
+        )
+        return fmean + self.f0[0], fvar
+
+    @hb.AutoOptimize()
+    def ELBO(self):
+        """Single-sample MC estimator (reference style)."""
+        f = self.gp.samples(self.x, self.u)[0][:, None] * jnp.sqrt(
+            self.k_var
+        ) + self.f0
+        rate = jnp.exp(f)
+        scale = self.n_data / f.shape[0]
+        return scale * jnp.sum(densities.poisson(rate, self.y)) - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_analytic(self):
+        """Deterministic ELBO via the lognormal-mean identity (see class
+        docstring) — natural-gradient/Adam trainable with zero variance."""
+        fmean, fvar = self._marginals(self.x)
+        y = self.y[:, 0]
+        ell = jnp.sum(
+            y * fmean
+            - jnp.exp(fmean + fvar / 2.0)
+            - jax.lax.lgamma(y + 1.0)
+        )
+        scale = self.n_data / fmean.shape[0]
+        return scale * ell - self.KL()
+
+    def predict_rate(self, x_new):
+        """Posterior mean and variance of the RATE exp(f*) at new inputs
+        (lognormal moments): mean = exp(m + v/2), var = (e^v - 1) mean^2.
+        Returns (mean [n*, 1], var [n*, 1])."""
+        fmean, fvar = self._marginals(jnp.asarray(x_new))
+        mean = jnp.exp(fmean + fvar / 2.0)
+        var = (jnp.exp(fvar) - 1.0) * jnp.square(mean)
+        return mean[:, None], var[:, None]
+
+
+class SVGPMulticlass(hb.model.Model):
+    """K-class GP classification: p(y = k | x) = softmax(F(x))_k with K
+    independent latent GPs sharing one kernel (the latent axis is a leading
+    `n_layers` batch dimension — batched solves, one gram per step).
+
+    The softmax couples the latents, so there is no separable quadrature;
+    the objective is the reparameterized MC ELBO (the reference's estimator
+    family). Labels Y are integer class indices [n, 1].
+    """
+
+    def setUp(self, X, Y, num_classes, num_inducing=32, q_shape="fullrank"):
+        K = int(num_classes)
+        self._K = K
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(np.asarray(Y, np.int32))
+        self.n_data = X.shape[0]
+        z = np.quantile(
+            X, np.linspace(0.0, 1.0, num_inducing), axis=0
+        ).astype(np.float32)
+        self.gp = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z)
+        self.u = hb.variationals.Normal(
+            shape=[1, num_inducing], n_layers=[K], q_shape=q_shape,
+            analytic_kl=True,
+        )
+        if q_shape == "fullrank":
+            eye = np.eye(num_inducing, dtype=np.float32)
+            self.u.q_sqrt = np.broadcast_to(
+                eye, (K, num_inducing, num_inducing)
+            ).copy()
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def logits(self, x):
+        """One posterior sample of the K logits at x: [B, K]."""
+        u = jnp.reshape(self.u, (self._K, -1))  # [K, m]
+        f = self.gp.samples(x, u, "diagonal") * jnp.sqrt(self.k_var)
+        return jnp.swapaxes(f, -1, -2)  # [B, K]
+
+    def predict_p(self, x_new):
+        """Samples of the class-probability vectors [n*, K]; average draws
+        (Model.draws) for the posterior predictive."""
+        return jax.nn.softmax(self.logits(jnp.asarray(x_new)), axis=-1)
+
+    @hb.AutoOptimize()
+    def ELBO(self):
+        f = self.logits(self.x)  # [B, K]
+        logp = jnp.take_along_axis(
+            jax.nn.log_softmax(f, axis=-1), self.y, axis=-1
+        )  # [B, 1]
+        scale = self.n_data / f.shape[0]
+        return scale * jnp.sum(logp) - self.KL()
