@@ -62,9 +62,14 @@ class MultiOutputGPR(hb.model.Model):
       shared_kernel: one kernel for all latents (True, default) or an
         independent kernel per latent.
 
-    Train `ELBO_analytic` (deterministic) with Adam; the latent posteriors
-    use the layered `n_layers=[Q]` batching, which the natural-gradient
-    pairing does not currently cover — keep this family on Adam.
+    Train `ELBO_analytic` (deterministic) with Adam, or better with
+    `optimizers.natural_gradient(m, gamma=0.1..0.3, rest=...)` — the natgrad
+    pair discovery vmaps over the layered `n_layers=[Q]` axis natively
+    (measured at n=80/seed=0: gamma 0.3 reaches ELBO -44 where Adam(0.02)
+    sits at -89 after the same 800 steps — the win is config-dependent; unit
+    gamma overshoots because the mixing couples the latents, so the
+    objective is deterministic but NOT conjugate per latent — same rule as
+    the classification quadrature ELBO, docs/PERF.md §SVGP).
     """
 
     def setUp(self, X, Y, Q=None, q_shape="fullrank", shared_kernel=True,

@@ -94,3 +94,35 @@ def test_diagonal_q_variant():
     mean, var = m.run(lambda mm: mm.predict_f(grid))
     truth = np.concatenate([np.sin(grid), np.cos(grid)], 1) @ W_TRUE.T
     assert np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)) < 0.3
+
+
+def test_natgrad_trains_layered_node():
+    """natural_gradient's pair step vmaps over the layered n_layers=[Q]
+    latent axis; at moderate gamma it clearly beats Adam at equal steps
+    (the deterministic LMC ELBO is non-conjugate per latent, so unit gamma
+    is NOT expected to win — docstring rule)."""
+    from henbun_tpu import optimizers as hopt
+    import optax as _optax
+
+    # the measured reference config (models/multioutput.py docstring):
+    # n=80 seed=0, 800 steps -> natgrad(0.3) ~ -44 vs Adam(0.02) ~ -89.
+    # (The margin is config-sensitive: at n=60/seed=6/600 steps Adam is
+    # slightly ahead — natgrad's win here is about escaping the mixing-
+    # coupled covariance plateau, which this config exhibits.)
+    hb.set_seed(0)
+    X, Y, _ = make_multioutput_dataset(n=80, seed=0)
+
+    m_ng = MultiOutputGPR(seed=0, X=X, Y=Y, Q=2)
+    opt_ng = m_ng.ELBO_analytic()
+    opt_ng.compile(hopt.natural_gradient(m_ng, gamma=0.3,
+                                         rest=_optax.adam(0.02)))
+    opt_ng.optimize(maxiter=800)
+
+    m_ad = MultiOutputGPR(seed=0, X=X, Y=Y, Q=2)
+    opt_ad = m_ad.ELBO_analytic()
+    opt_ad.compile(_optax.adam(0.02))
+    opt_ad.optimize(maxiter=800)
+
+    ng, ad = float(opt_ng.run()), float(opt_ad.run())
+    assert np.isfinite(ng) and np.isfinite(ad)
+    assert ng > ad + 20.0, (ng, ad)
