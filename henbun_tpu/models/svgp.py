@@ -121,6 +121,26 @@ class SVGPRegression(hb.model.Model):
         return scale * log_lik - self.KL()
 
     @hb.AutoOptimize()
+    def ELBO_student_quadrature(self):
+        """Deterministic ROBUST regression ELBO at SVGP scale: Student-t(3)
+        likelihood integrated per-marginal with Gauss-Hermite quadrature —
+        the large-n counterpart of `GPR.ELBO_student_quadrature` (the exact
+        Gaussian expectation has no closed form for heavy tails). Pair with
+        Adam or natgrad(0.1-0.3) like the classification quadrature ELBO."""
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        fmean, fvar = _whitened_marginals(
+            self.gp, self.__dict__["u"], self.x, self.k_var
+        )
+        y = self.y[:, 0]
+
+        def log_lik(f):  # f: [B, deg]
+            return densities.student_t(y[:, None], f, self.var, 3.0)
+
+        ell = jnp.sum(gauss_hermite_expectation(log_lik, fmean, fvar))
+        return (self.n_data / fmean.shape[0]) * ell - self.KL()
+
+    @hb.AutoOptimize()
     def ELBO_analytic(self):
         """Closed-form expected log-likelihood (no f sampling): with
         whitened q(u) = N(mu, S) and B = Lm^-1 K(z, x),

@@ -87,3 +87,32 @@ def test_multiclass_probability_draws_vary():
     draws = np.asarray(m.draws(lambda mm: mm.predict_p(grid), 32))
     assert draws.shape == (32, 2, 3)
     assert draws.std(axis=0).max() > 1e-3  # untrained posterior has spread
+
+
+def test_svgp_student_quadrature_robust_to_outliers():
+    """The deterministic Student-t SVGP objective shrugs off gross outliers
+    that pull the Gaussian fit (large-n counterpart of the GPR robust
+    variant)."""
+    from henbun_tpu.models import SVGPRegression
+
+    hb.set_seed(9)
+    rng = np.random.default_rng(9)
+    X = np.sort(rng.uniform(0, 6, size=(2000, 1))).astype(np.float32)
+    Y = (np.sin(X) + rng.normal(size=X.shape) * 0.2).astype(np.float32)
+    Y[::25] += 5.0  # 4% gross outliers
+
+    grid = np.linspace(0.3, 5.7, 40).reshape(-1, 1).astype(np.float32)
+    truth = np.sin(grid[:, 0])
+
+    def fit(objective):
+        m = SVGPRegression(seed=9, X=X, Y=Y, num_inducing=32)
+        getattr(m, objective)().compile(optax.adam(0.02)).optimize(
+            maxiter=3000, minibatch_size=256
+        )
+        mean, _ = m.run(lambda mm: mm.predict_f_marginals(grid))
+        return np.sqrt(np.mean((np.asarray(mean)[:, 0] - truth) ** 2))
+
+    rmse_robust = fit("ELBO_student_quadrature")
+    rmse_gauss = fit("ELBO_analytic")
+    assert rmse_robust < 0.15, rmse_robust
+    assert rmse_robust < 0.6 * rmse_gauss, (rmse_robust, rmse_gauss)
