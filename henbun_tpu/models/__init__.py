@@ -17,3 +17,4 @@ from .gpc import GPC
 from .hetero import HeteroscedasticGPR, make_hetero_dataset
 from .multioutput import MultiOutputGPR, make_multioutput_dataset
 from .deepgp import DeepGPRegression, make_step_dataset
+from .gplvm import GPLVM, make_curve_dataset
