@@ -1,0 +1,90 @@
+"""Training rate of the round-3 model families on the real chip.
+
+One session, one table: steps/s (steady state, scan-chunked) for the
+heteroscedastic, multi-output, deep-GP, GP-LVM, Poisson-count and multiclass
+families at representative sizes. These are end-to-end rates — objective,
+gradients, optimizer update and minibatch gather inside the jitted scan.
+
+Usage: python benchmarks/families_bench.py [--steps 4000]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import optax
+
+import henbun_tpu as hb
+from henbun_tpu import models
+
+
+def rate(opt, steps, minibatch=None):
+    opt.optimize(maxiter=200, minibatch_size=minibatch)  # compile + warm
+    t0 = time.perf_counter()
+    opt.optimize(maxiter=steps, minibatch_size=minibatch)
+    return steps / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    args = ap.parse_args()
+    hb.set_seed(0)
+    rng = np.random.default_rng(0)
+    rows = []
+
+    X, Y, _ = models.make_hetero_dataset(n=120, seed=0)
+    m = models.HeteroscedasticGPR(seed=0, X=X, Y=Y)
+    rows.append((
+        "HeteroscedasticGPR n=120 fullrank, analytic ELBO",
+        rate(m.ELBO_analytic().compile(optax.adam(0.02)), args.steps),
+    ))
+
+    X, Y, _ = models.make_multioutput_dataset(n=80, seed=0)
+    m = models.MultiOutputGPR(seed=0, X=X, Y=Y, Q=2)
+    rows.append((
+        "MultiOutputGPR n=80 P=3 Q=2, analytic ELBO",
+        rate(m.ELBO_analytic().compile(optax.adam(0.02)), args.steps),
+    ))
+
+    X, Y = models.make_step_dataset(n=400, seed=0)
+    m = models.DeepGPRegression(seed=0, X=X, Y=Y, num_inducing=32)
+    rows.append((
+        "DeepGPRegression m=32, MC ELBO, mb=128",
+        rate(m.ELBO().compile(optax.adam(0.01)), args.steps, 128),
+    ))
+
+    Yc, _ = models.make_curve_dataset(n=10000, seed=0)
+    m = models.GPLVM(seed=0, Y=Yc, d_z=1, num_inducing=16, hidden=32)
+    rows.append((
+        "GPLVM n=1e4 m=16, MC ELBO, mb=256",
+        rate(m.ELBO().compile(optax.adam(0.01)), args.steps, 256),
+    ))
+
+    Xp = np.sort(rng.uniform(0, 6, size=(100_000, 1))).astype(np.float32)
+    Yp = rng.poisson(np.exp(np.sin(Xp) + 1.0)).astype(np.float32)
+    m = models.SVGPCount(seed=0, X=Xp, Y=Yp, num_inducing=32)
+    rows.append((
+        "SVGPCount n=1e5 m=32, analytic ELBO, mb=512",
+        rate(m.ELBO_analytic().compile(optax.adam(0.02)), args.steps, 512),
+    ))
+
+    labels = (np.floor(Xp[:, 0]) % 3).astype(np.int32)[:, None]
+    m = models.SVGPMulticlass(
+        seed=0, X=Xp, Y=labels, num_classes=3, num_inducing=32
+    )
+    rows.append((
+        "SVGPMulticlass n=1e5 K=3 m=32, MC ELBO, mb=512",
+        rate(m.ELBO().compile(optax.adam(0.02)), args.steps, 512),
+    ))
+
+    for name, r in rows:
+        print("%-52s %10.0f steps/s" % (name, r))
+
+
+if __name__ == "__main__":
+    main()
