@@ -57,27 +57,15 @@ class AmortizedRegression(hb.model.Model):
         # d_z=8, n=1e6). Bias the slab's diagonal slots by +1 so the fed
         # factor starts at ~identity, the prior-matched init the non-LOCAL
         # packed family also uses (variationals.py).
+        # (identity-bias + 0.1x factor scaling; the measured failure modes
+        # and the contract live in models/_slab.py, shared by every
+        # amortized family)
         if q_local == "fullrank_packed":
-            from henbun_tpu.ops.linalg import fill_triangular_diag_indices
+            from henbun_tpu.models._slab import packed_slab_conditioning
 
-            diag_slots = d_z + np.asarray(fill_triangular_diag_indices(d_z))
-            bias = np.zeros(self.z.feed_size, np.float32)
-            bias[diag_slots] = 1.0
-            self._slab_bias = bias
-            # factor slots scaled 0.1x around the identity bias: a fresh
-            # encoder's O(1) raw outputs would otherwise wobble the factor
-            # (random noise correlations, diagonals in [0, 2]) exactly when
-            # the decoder is learning whether to use z at all — the run
-            # collapses to an ignored latent still paying 1-4 nats/point of
-            # junk-factor KL that Adam takes tens of thousands of steps to
-            # clean up (measured: diagonal locals reach ELBO/n -0.32 where
-            # the unscaled packed run sits at -11). The encoder can still
-            # express any factor (10x output weights); only the init noise
-            # shrinks. Matches in spirit the diagonal family's log-sigma
-            # contract, where raw 0 already means the prior-matched sigma=1.
-            scale = np.full(self.z.feed_size, 0.1, np.float32)
-            scale[:d_z] = 1.0
-            self._slab_scale = scale
+            self._slab_bias, self._slab_scale = packed_slab_conditioning(
+                d_z, self.z.feed_size
+            )
         else:
             self._slab_bias = None
             self._slab_scale = None
@@ -96,12 +84,12 @@ class AmortizedRegression(hb.model.Model):
 
     @hb.AutoOptimize()
     def ELBO(self):
+        from henbun_tpu.models._slab import condition_slab
+
         xy = jnp.concatenate([self.x, self.y], axis=-1)
-        slab = self.encoder(xy)
-        if self._slab_bias is not None:
-            slab = slab * jnp.asarray(self._slab_scale) + jnp.asarray(
-                self._slab_bias
-            )
+        slab = condition_slab(
+            self.encoder(xy), self._slab_bias, self._slab_scale
+        )
         self.z = slab                      # feed: unpack slab + sample
         z = self.z                          # [N, d_z] posterior sample
         xz = jnp.concatenate([self.x, z], axis=-1)

@@ -43,6 +43,18 @@ class GPLVM(hb.model.Model):
             [d_y, hidden, self.t.feed_size],
             neuron_types=hb.nn.relu, stddev=0.3,
         )
+        # packed (correlated) locals need the identity-biased, 0.1x-scaled
+        # slab conditioning (models/_slab.py: a raw slab starts every local
+        # near-singular — measured collapse in the amortized family)
+        if q_local == "fullrank_packed":
+            from henbun_tpu.models._slab import packed_slab_conditioning
+
+            self._slab_bias, self._slab_scale = packed_slab_conditioning(
+                d_z, self.t.feed_size
+            )
+        else:
+            self._slab_bias = None
+            self._slab_scale = None
 
         # GP decoder over the latent space; inducing inputs where the N(0,I)
         # prior puts the latents
@@ -69,24 +81,29 @@ class GPLVM(hb.model.Model):
         F = self.gp.samples(t, u, "diagonal") * jnp.sqrt(self.k_var)
         return jnp.swapaxes(F, -1, -2)
 
+    def _slab(self, y):
+        from henbun_tpu.models._slab import condition_slab
+
+        return condition_slab(
+            self.encoder(y), self._slab_bias, self._slab_scale
+        )
+
     def latent_mean(self, y):
         """The encoder's posterior mean over latents for rows y [B, d_y]:
         [B, d_z] — deterministic (the slab's first d_z slots are q_mu; LOCAL
         children pack name-sorted, q_mu before q_sqrt)."""
-        slab = self.encoder(y)
-        return slab[..., : self._d_z]
+        return self._slab(jnp.asarray(y))[..., : self._d_z]
 
     def reconstruct(self, y):
         """One posterior reconstruction sample of rows y: encode, sample
         q(t), decode. Use with Model.draws for means/bands."""
-        xy = jnp.asarray(y)
-        self.t = self.encoder(xy)  # feed
+        self.t = self._slab(jnp.asarray(y))  # feed
         return self._decode(self.t)
 
     # ------------------------------------------------------------- objective
     @hb.AutoOptimize()
     def ELBO(self):
-        self.t = self.encoder(self.y)  # feed: unpack slab + sample q(t)
+        self.t = self._slab(self.y)  # feed: unpack slab + sample q(t)
         t = self.t  # [B, d_z] reparameterized sample
         y_fit = self._decode(t)
         batch = y_fit.shape[0]

@@ -54,3 +54,24 @@ def test_encoder_generalizes_to_heldout_rows(fitted):
     sign = np.sign(np.corrcoef(lat, t_new)[0, 1])
     frac_monotone = np.mean(np.sign(np.diff(lat)) == sign)
     assert frac_monotone > 0.85, frac_monotone
+
+
+def test_packed_correlated_locals_train():
+    """q_local='fullrank_packed' (correlated latent posteriors) goes through
+    the shared slab conditioning (models/_slab.py) and still recovers the
+    coordinate at d_z=2 — where off-diagonal posterior structure exists."""
+    hb.set_seed(3)
+    Y, t_true = make_curve_dataset(n=600, seed=3)
+    m = GPLVM(seed=3, Y=Y, d_z=2, num_inducing=16, hidden=32,
+              q_local="fullrank_packed")
+    m.ELBO().compile(optax.adam(0.01)).optimize(
+        maxiter=3000, minibatch_size=128
+    )
+    lat = np.asarray(m.run(lambda mm: mm.latent_mean(Y)))  # [n, 2]
+    # the curve is 1D: SOME direction of the learned 2D latent must carry it
+    corr = max(
+        abs(np.corrcoef(lat[:, j], t_true)[0, 1]) for j in range(2)
+    )
+    assert corr > 0.9, corr
+    rec = np.asarray(m.draws(lambda mm: mm.reconstruct(Y), 32)).mean(0)
+    assert np.sqrt(np.mean((rec - Y) ** 2)) < 0.12
