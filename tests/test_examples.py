@@ -27,6 +27,7 @@ TINY_ARGV = {
     "heteroscedastic": ["--iters", "400", "--n", "48"],
     "multioutput": ["--iters", "500", "--n", "40"],
     "deep_gp": ["--iters", "600", "--n", "120", "--minibatch", "64"],
+    "gplvm": ["--iters", "800", "--n", "300", "--minibatch", "64"],
 }
 
 
