@@ -139,3 +139,23 @@ def test_structure_mismatch_raises():
     m2 = MeanModel(seed=0, data=rng.normal(size=(24, 2)).astype(np.float32))
     with pytest.raises(ValueError, match="structure"):
         BatchedOptimizer([m1, m2], "obj").compile()
+
+
+def test_batched_hetero_family():
+    """The round-3 families compose with the batched driver too: 8
+    heteroscedastic fits (two chol paths + exp-coupled deterministic ELBO
+    per model) advance in one program and learn per-model noise profiles."""
+    ms = []
+    for i in range(6):
+        X, Y, _ = models.make_hetero_dataset(n=32, seed=i)
+        ms.append(models.HeteroscedasticGPR(seed=i, X=X, Y=Y,
+                                            q_shape="diagonal"))
+    opt = BatchedOptimizer(ms, "ELBO_analytic")
+    opt.compile(optax.adam(0.02))
+    e0 = float(opt.run())
+    opt.optimize(maxiter=800)
+    e1 = float(opt.run())
+    assert np.isfinite(np.concatenate(opt.history)).all()
+    assert e1 > e0 + 10.0
+    g0s = np.array([float(m.g0.value[0]) for m in ms])
+    assert len(np.unique(np.round(g0s, 4))) > 1  # fits are independent
