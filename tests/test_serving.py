@@ -108,3 +108,36 @@ def test_exported_constants_are_frozen(fitted_marginal):
         assert np.abs(live_mean - frozen_mean).max() > 0  # the live model moved
     finally:
         m.k_var = old
+
+
+def test_export_svgp_marginal_predictor():
+    """Inducing-point models export too: MinibatchData rows freeze into the
+    artifact as constants and the deterministic marginal predictor serves
+    new inputs."""
+    from henbun_tpu.models import SVGPRegression
+
+    hb.set_seed(11)
+    rng = np.random.default_rng(11)
+    X = np.sort(rng.uniform(0, 6, size=(512, 1))).astype(np.float32)
+    Y = (np.sin(X) + rng.normal(size=X.shape) * 0.2).astype(np.float32)
+    m = SVGPRegression(seed=11, X=X, Y=Y, num_inducing=16)
+    m.ELBO_analytic().compile(optax.adam(0.02)).optimize(
+        maxiter=800, minibatch_size=128
+    )
+    grid = np.linspace(0.3, 5.7, 25).reshape(-1, 1).astype(np.float32)
+    want_mean, want_var = m.run(lambda mm: mm.predict_f_marginals(grid))
+
+    art = serving.export_predictor(
+        m, "predict_f_marginals", grid, batch_polymorphic=True
+    )
+    got_mean, got_var = art(jnp.asarray(grid))
+    # symbolic-shape lowering fuses/orders the solves differently from the
+    # static program — measured drift 2e-4 relative, not a bug
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var),
+                               rtol=1e-3, atol=1e-5)
+    # polymorphic: a different request size from the same artifact
+    g2 = np.linspace(1, 5, 7).reshape(-1, 1).astype(np.float32)
+    mean2, _ = art(jnp.asarray(g2))
+    assert mean2.shape == (7, 1)
