@@ -28,11 +28,25 @@ def _float_type():
 
 
 class Kern(Parameterized):
-    """The basic kernel class; K and Kdiag run under named scopes."""
+    """The basic kernel class; K and Kdiag run under named scopes.
 
-    def __init__(self):
+    active_dims: optional static sequence of input-column indices this
+    kernel sees (None = all). The `Add`/`Prod` combinators plus per-term
+    active_dims express additive/ANOVA structure over feature subsets —
+    e.g. ``Add([UnitRBF(active_dims=[0]), UnitLinear(active_dims=[1])])``.
+    (No reference counterpart; GPflow-lineage convention.)"""
+
+    def __init__(self, active_dims=None):
         Parameterized.__init__(self)
         self.scoped_keys.extend(["K", "Kdiag", "Cholesky"])
+        self._active_dims = (
+            None if active_dims is None else tuple(int(i) for i in active_dims)
+        )
+
+    def _slice(self, X):
+        if self._active_dims is None or X is None:
+            return X
+        return jnp.take(X, jnp.asarray(self._active_dims), axis=-1)
 
     def Cholesky(self, X):
         """Lower Cholesky factor of K(X) + jitter*I; batched if X is
@@ -48,10 +62,12 @@ class Kern(Parameterized):
 
 
 class UnitStationary(Kern):
-    def __init__(self, lengthscales=np.ones(1), n_batch=None, collections=None):
+    def __init__(self, lengthscales=np.ones(1), n_batch=None, collections=None,
+                 active_dims=None):
         """lengthscales: scalar/1d np.array initial value, or an existing
-        Variable/Variational node (cf. kernels.py:37-51)."""
-        Kern.__init__(self)
+        Variable/Variational node (cf. kernels.py:37-51). With active_dims,
+        lengthscales apply to the SLICED columns."""
+        Kern.__init__(self, active_dims)
         collections = collections if collections is not None else [graph_key.VARIABLES]
         if isinstance(lengthscales, np.ndarray):
             self.lengthscales = Variable(
@@ -72,6 +88,7 @@ class UnitStationary(Kern):
         X: [n, d] (returns [n, n2]) or batched [N, n, d] (returns [N, n, n2]),
         cf. kernels.py:54-84. One batched matmul; float32 MXU precision.
         """
+        X, X2 = self._slice(X), self._slice(X2)
         Xeff = X / self.lengthscales
         Xs = jnp.sum(jnp.square(Xeff), -1)
         if X2 is None:
@@ -142,8 +159,9 @@ class UnitPeriodic(UnitStationary):
     trainable positive scalar."""
 
     def __init__(self, lengthscales=np.ones(1), period=1.0, n_batch=None,
-                 collections=None):
-        UnitStationary.__init__(self, lengthscales, n_batch, collections)
+                 collections=None, active_dims=None):
+        UnitStationary.__init__(self, lengthscales, n_batch, collections,
+                                active_dims)
         cols = collections if collections is not None else [graph_key.VARIABLES]
         self.period = Variable(
             [1], transform=transforms.positive, collections=cols
@@ -151,8 +169,8 @@ class UnitPeriodic(UnitStationary):
         self.period = np.asarray([period], dtype=np.float64)
 
     def K(self, X, X2=None):
-        if X2 is None:
-            X2 = X
+        X = self._slice(X)
+        X2 = X if X2 is None else self._slice(X2)
         d = X[..., :, None, :] - X2[..., None, :, :]
         s = 2.0 * jnp.sin(np.pi * d / self.period) / self.lengthscales
         return jnp.exp(-0.5 * jnp.sum(jnp.square(s), -1))
@@ -163,8 +181,9 @@ class UnitLinear(Kern):
     the row norm, not 1. `lengthscales` plays the per-dimension inverse
     weight role."""
 
-    def __init__(self, lengthscales=np.ones(1), collections=None):
-        Kern.__init__(self)
+    def __init__(self, lengthscales=np.ones(1), collections=None,
+                 active_dims=None):
+        Kern.__init__(self, active_dims)
         cols = collections if collections is not None else [graph_key.VARIABLES]
         if isinstance(lengthscales, np.ndarray):
             self.lengthscales = Variable(
@@ -178,12 +197,14 @@ class UnitLinear(Kern):
             raise TypeError
 
     def K(self, X, X2=None):
-        Xeff = X / self.lengthscales
-        X2eff = Xeff if X2 is None else X2 / self.lengthscales
+        Xeff = self._slice(X) / self.lengthscales
+        X2eff = (
+            Xeff if X2 is None else self._slice(X2) / self.lengthscales
+        )
         return matmul_hp(Xeff, jnp.swapaxes(X2eff, -1, -2))
 
     def Kdiag(self, X):
-        return jnp.sum(jnp.square(X / self.lengthscales), -1)
+        return jnp.sum(jnp.square(self._slice(X) / self.lengthscales), -1)
 
 
 class Combination(Kern):
@@ -239,6 +260,6 @@ class UnitCsymRBF(UnitStationary):
         )
 
     def Kdiag(self, X):
-        Xeff = X / self.lengthscales
+        Xeff = self._slice(X) / self.lengthscales
         Xs = jnp.sum(jnp.square(Xeff), -1)
         return jnp.ones_like(Xs) + jnp.exp(-2 * Xs)

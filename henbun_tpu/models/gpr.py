@@ -22,9 +22,12 @@ class GPR(hb.model.Model):
     def setUp(self, X, Y, q_shape="fullrank", kern=None, analytic_kl=False):
         self.X = hb.Data(X)
         self.Y = hb.Data(Y)
-        # variational posterior over the whitened latent, one per datapoint
+        # variational posterior over the whitened latent, one per datapoint:
+        # shaped like Y ([n, 1]), NOT like X — with multi-dimensional inputs
+        # (d > 1) the latent is still one value per row (X.shape, the
+        # notebook's choice, coincides only because its inputs are 1-D)
         self.q = hb.variationals.Gaussian(
-            shape=list(X.shape), q_shape=q_shape, analytic_kl=analytic_kl
+            shape=list(Y.shape), q_shape=q_shape, analytic_kl=analytic_kl
         )
         self.kern = kern if kern is not None else hb.gp.kernels.UnitRBF()
         # kernel and likelihood variances, positive-constrained

@@ -352,3 +352,69 @@ class TestNewKernelFamilies:
         objs = np.concatenate(opt.history)
         assert np.isfinite(objs).all()
         assert np.mean(objs[-100:]) > np.mean(objs[:100])
+
+
+class TestActiveDims:
+    """active_dims: kernels over feature subsets (Kern._slice)."""
+
+    def test_slice_equals_presliced_input(self):
+        import henbun_tpu as hb
+        from henbun_tpu.core import context as _ctx
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(12, 3)).astype(np.float32)
+
+        class M(hb.model.Model):
+            def setUp(self):
+                self.k01 = kernels.UnitRBF(np.ones(2), active_dims=[0, 2])
+                self.kfull = kernels.UnitRBF(np.ones(2))
+                self.lin = kernels.UnitLinear(np.ones(1), active_dims=[1])
+                self.linfull = kernels.UnitLinear(np.ones(1))
+                self.per = kernels.UnitPeriodic(np.ones(1), active_dims=[1])
+                self.perfull = kernels.UnitPeriodic(np.ones(1))
+
+        m = M()
+        m.initialize()
+
+        def probe(mm):
+            sub = X[:, [0, 2]]
+            return (
+                mm.k01.K(X) - mm.kfull.K(sub),
+                mm.lin.K(X) - mm.linfull.K(X[:, [1]]),
+                mm.lin.Kdiag(X) - mm.linfull.Kdiag(X[:, [1]]),
+                mm.per.K(X) - mm.perfull.K(X[:, [1]]),
+            )
+
+        for d in m.run(probe):
+            np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+    def test_additive_structure_trains(self):
+        """Add over disjoint active_dims fits an additive function and the
+        per-term lengthscales adapt to their own component's scale."""
+        import optax
+        import henbun_tpu as hb
+        from henbun_tpu import models
+
+        hb.set_seed(0)
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-2, 2, size=(60, 2)).astype(np.float32)
+        # fast component on dim 0, slow on dim 1
+        Y = (np.sin(4.0 * X[:, :1]) + 0.5 * X[:, 1:]).astype(np.float32)
+        Y += rng.normal(size=Y.shape).astype(np.float32) * 0.05
+
+        kern = kernels.Add([
+            kernels.UnitRBF(np.ones(1), active_dims=[0]),
+            kernels.UnitRBF(np.ones(1), active_dims=[1]),
+        ])
+        m = models.GPR(seed=0, X=X, Y=Y, kern=kern, q_shape="diagonal",
+                       analytic_kl=True)
+        opt = m.ELBO_analytic()
+        opt.compile(optax.adam(0.03))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=2500)
+        assert float(opt.run()) > e0 + 30.0
+        l_fast = float(np.asarray(
+            kern.kern_list[0].lengthscales.value).ravel()[0])
+        l_slow = float(np.asarray(
+            kern.kern_list[1].lengthscales.value).ravel()[0])
+        assert l_fast < l_slow, (l_fast, l_slow)
