@@ -20,9 +20,9 @@ class ExpertGPR(hb.model.Model):
     def setUp(self, X, Y):
         self.X = hb.Data(X)
         self.Y = hb.Data(Y)
-        self.q_s = hb.variationals.Gaussian(shape=list(X.shape), q_shape="fullrank")
-        self.q_l = hb.variationals.Gaussian(shape=list(X.shape), q_shape="fullrank")
-        self.q_r = hb.variationals.Gaussian(shape=list(X.shape), q_shape="fullrank")
+        self.q_s = hb.variationals.Gaussian(shape=list(Y.shape), q_shape="fullrank")
+        self.q_l = hb.variationals.Gaussian(shape=list(Y.shape), q_shape="fullrank")
+        self.q_r = hb.variationals.Gaussian(shape=list(Y.shape), q_shape="fullrank")
         self.kern_s = hb.gp.kernels.UnitRBF(np.ones(1, np.float32) * 0.2)
         self.kern_l = hb.gp.kernels.UnitRBF(np.ones(1, np.float32) * 1.0)
         self.kern_r = hb.gp.kernels.UnitRBF(np.ones(1, np.float32) * 1.0)

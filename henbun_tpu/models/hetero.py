@@ -92,8 +92,10 @@ class HeteroscedasticGPR(hb.model.Model):
               analytic_kl=True):
         self.X = hb.Data(X)
         self.Y = hb.Data(Y)
+        # latent shape follows Y ([n, 1]): one latent value per row even
+        # for d>1 inputs (same contract fix as GPR)
         self.q_f = hb.variationals.Gaussian(
-            shape=list(X.shape), q_shape=q_shape, analytic_kl=analytic_kl
+            shape=list(Y.shape), q_shape=q_shape, analytic_kl=analytic_kl
         )
         # q_g MUST start tight: the default fullrank init has marginal
         # variance ~n, and the objective exponentiates it —
@@ -101,7 +103,7 @@ class HeteroscedasticGPR(hb.model.Model):
         # ELBO, 1e14-scale MC values at n=120). stddev=0.1 puts the init
         # variance at ~0.01 n via the scale split.
         self.q_g = hb.variationals.Gaussian(
-            shape=list(X.shape), q_shape=q_shape, analytic_kl=analytic_kl,
+            shape=list(Y.shape), q_shape=q_shape, analytic_kl=analytic_kl,
             stddev=0.1,
         )
         if q_shape == "fullrank":
@@ -111,7 +113,7 @@ class HeteroscedasticGPR(hb.model.Model):
             # the objective exponentiates gvar (exp(gvar/2) overflows f32 at
             # n >~ 40: measured -inf/-1e22 ELBOs). Start both factors
             # near-identity instead (the same cure as SVGP's q(u) init).
-            n = int(np.prod(X.shape))
+            n = int(np.prod(Y.shape))  # = q size (one latent per row)
             eye = np.eye(n, dtype=np.asarray(Y).dtype)
             for qn in (self.q_f, self.q_g):
                 qn.q_sqrt.set_free_value(
