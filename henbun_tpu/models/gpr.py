@@ -215,10 +215,10 @@ class GPRMarginal(hb.model.Model):
     BASELINE config 4's "GP hyperparameters" half — sampling runs in free
     space with transform Jacobians added by inference.make_log_prob."""
 
-    def setUp(self, X, Y):
+    def setUp(self, X, Y, kern=None):
         self.X = hb.Data(X)
         self.Y = hb.Data(Y)
-        self.kern = hb.gp.kernels.UnitRBF()
+        self.kern = kern if kern is not None else hb.gp.kernels.UnitRBF()
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
 

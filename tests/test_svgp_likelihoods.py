@@ -116,3 +116,22 @@ def test_svgp_student_quadrature_robust_to_outliers():
     rmse_gauss = fit("ELBO_analytic")
     assert rmse_robust < 0.15, rmse_robust
     assert rmse_robust < 0.6 * rmse_gauss, (rmse_robust, rmse_gauss)
+
+
+def test_poisson_analytic_trains_with_natgrad():
+    """The count family's deterministic (non-conjugate) ELBO follows the
+    classification-quadrature pairing rule: moderate fixed gammas train
+    cleanly and match Adam's solution quality."""
+    from henbun_tpu import optimizers as hopt
+
+    hb.set_seed(4)
+    X, Y, _ = _count_data(n=1500, seed=4)
+    m = SVGPCount(seed=4, X=X, Y=Y, num_inducing=24)
+    opt = m.ELBO_analytic()
+    opt.compile(hopt.natural_gradient(m, gamma=0.2, rest=optax.adam(0.02)))
+    opt.optimize(maxiter=2500, minibatch_size=256)
+    grid = np.linspace(0.5, 5.5, 30).reshape(-1, 1).astype(np.float32)
+    rate, _ = m.run(lambda mm: mm.predict_rate(grid))
+    truth = np.exp(np.sin(grid[:, 0]) + 1.0)
+    rel = np.abs(np.asarray(rate)[:, 0] - truth) / truth
+    assert np.median(rel) < 0.15, np.median(rel)
