@@ -28,6 +28,8 @@ TINY_ARGV = {
     "multioutput": ["--iters", "500", "--n", "40"],
     "deep_gp": ["--iters", "600", "--n", "120", "--minibatch", "64"],
     "gplvm": ["--iters", "800", "--n", "300", "--minibatch", "64"],
+    "svgp_likelihoods": ["--n", "2000", "--iters", "800",
+                         "--minibatch", "256"],
 }
 
 
