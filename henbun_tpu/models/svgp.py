@@ -367,3 +367,42 @@ class SVGPMulticlass(hb.model.Model):
         )  # [B, 1]
         scale = self.n_data / f.shape[0]
         return scale * jnp.sum(logp) - self.KL()
+
+    def _logit_marginals(self, x):
+        """Per-class Gaussian marginals of the logits at x: ([K, B], [K, B])."""
+        from henbun_tpu.ops.linalg import fill_triangular
+
+        q = self.__dict__["u"]
+        LnT = self.gp._effective_LT(x)  # [m, B]
+        mu = q.q_mu  # [K, m]
+        mean = jnp.einsum("km,mb->kb", mu, LnT)
+        if q.q_shape == "diagonal":
+            Svar = jnp.exp(2.0 * q.q_sqrt)  # [K, m]
+            qvar = jnp.einsum("km,mb->kb", Svar, jnp.square(LnT))
+        else:
+            Lq = (
+                fill_triangular(q.q_sqrt, q.size)
+                if q.q_shape == "fullrank_packed"
+                else jnp.tril(q.q_sqrt)
+            )  # [K, m, m]
+            T = jnp.einsum("kmn,mb->knb", Lq, LnT)  # Lq^T B per class
+            qvar = jnp.sum(jnp.square(T), axis=1)
+        corr = self.gp._additional_cov(x, LnT, "diagonal")  # [B]
+        kv = self.k_var[0]
+        return mean * jnp.sqrt(kv), (qvar + corr[None, :]) * kv
+
+    def predict_p_mean(self, x_new, num=512):
+        """DETERMINISTIC posterior predictive class probabilities [n*, K]:
+        E[softmax(F)] over the per-class Gaussian logit marginals, estimated
+        with `num` fixed-key quasi-MC draws INSIDE one call — reproducible
+        (same inputs, same answer) unlike averaging `predict_p` draws, and
+        one program rather than `num` trace replays. The softmax couples the
+        K latents, so no separable quadrature exists (class docstring)."""
+        x_new = jnp.asarray(x_new)
+        mean, var = self._logit_marginals(x_new)  # [K, B]
+        eps = jax.random.normal(
+            jax.random.PRNGKey(0), (num,) + mean.shape, dtype=mean.dtype
+        )
+        logits = mean[None] + jnp.sqrt(var)[None] * eps  # [num, K, B]
+        p = jax.nn.softmax(logits, axis=1)
+        return jnp.swapaxes(jnp.mean(p, axis=0), -1, -2)  # [B, K]

@@ -135,3 +135,24 @@ def test_poisson_analytic_trains_with_natgrad():
     truth = np.exp(np.sin(grid[:, 0]) + 1.0)
     rel = np.abs(np.asarray(rate)[:, 0] - truth) / truth
     assert np.median(rel) < 0.15, np.median(rel)
+
+
+def test_multiclass_predict_p_mean_deterministic():
+    """predict_p_mean matches the draw-averaged predict_p and is exactly
+    reproducible call-to-call (fixed internal key)."""
+    hb.set_seed(5)
+    X, labels = _class_data(n=1200, seed=5)
+    m = SVGPMulticlass(seed=5, X=X, Y=labels, num_classes=3,
+                       num_inducing=32)
+    m.ELBO().compile(optax.adam(0.02)).optimize(
+        maxiter=1500, minibatch_size=256
+    )
+    grid = np.array([[0.5], [1.5], [2.5], [3.5]], np.float32)
+    p1 = np.asarray(m.run(lambda mm: mm.predict_p_mean(grid)))
+    p2 = np.asarray(m.run(lambda mm: mm.predict_p_mean(grid)))
+    np.testing.assert_array_equal(p1, p2)  # deterministic
+    np.testing.assert_allclose(p1.sum(-1), 1.0, rtol=1e-5)
+    mc = np.asarray(m.draws(lambda mm: mm.predict_p(grid), 512)).mean(0)
+    np.testing.assert_allclose(p1, mc, atol=0.05)  # same posterior mean
+    want = (np.floor(grid[:, 0]) % 3).astype(int)
+    assert (p1.argmax(-1) == want).all()
