@@ -19,8 +19,10 @@ import jax.numpy as jnp
 
 
 def packed_slab_conditioning(d_z, feed_size):
-    """(bias, scale) arrays for a fullrank_packed local of latent dim d_z,
-    or (None, None) for families that need no conditioning."""
+    """(bias, scale) arrays for a fullrank_packed local of latent dim d_z.
+
+    Callers gate on q_local: families that need no conditioning simply don't
+    call this (``condition_slab`` treats ``bias=None`` as identity)."""
     from henbun_tpu.ops.linalg import fill_triangular_diag_indices
 
     diag_slots = d_z + np.asarray(fill_triangular_diag_indices(d_z))

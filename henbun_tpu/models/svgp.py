@@ -44,7 +44,12 @@ def _whitened_marginals(gp, q, x, k_var):
         T = matmul_hp(jnp.swapaxes(Lq, -1, -2), LnT)
         qvar = jnp.sum(jnp.square(T), axis=0)
     corr = gp._additional_cov(x, LnT, "diagonal")
-    return mean * jnp.sqrt(k_var), (qvar + corr) * k_var
+    # corr cancels slightly NEGATIVE in f32 at inputs coinciding with
+    # inducing points (guaranteed by the quantile-z init on training rows;
+    # same failure _safe_corr_std documents) — clamp so sqrt(f_var) in the
+    # quadrature/predictive consumers can't NaN. qvar > 0 generically keeps
+    # the total off the sqrt-gradient singularity at exactly 0.
+    return mean * jnp.sqrt(k_var), jnp.maximum(qvar + corr, 0.0) * k_var
 
 
 class SVGPRegression(hb.model.Model):
@@ -389,7 +394,9 @@ class SVGPMulticlass(hb.model.Model):
             qvar = jnp.sum(jnp.square(T), axis=1)
         corr = self.gp._additional_cov(x, LnT, "diagonal")  # [B]
         kv = self.k_var[0]
-        return mean * jnp.sqrt(kv), (qvar + corr[None, :]) * kv
+        # clamp as in _whitened_marginals: corr goes slightly negative in f32
+        # at inducing-point-coincident inputs and predict_p_mean sqrts this
+        return mean * jnp.sqrt(kv), jnp.maximum(qvar + corr[None, :], 0.0) * kv
 
     def predict_p_mean(self, x_new, num=512):
         """DETERMINISTIC posterior predictive class probabilities [n*, K]:

@@ -115,14 +115,16 @@ def _example_specs(example_args, batch_polymorphic):
     if not batch_polymorphic:
         return tuple(example_args)
     # every array argument's leading axis becomes the same symbolic dim, so
-    # one artifact serves any batch size; scalars pass through untouched
+    # one artifact serves any batch size; scalars pass through untouched.
+    # ONE symbol shared across arguments — per-argument symbolic_shape calls
+    # create distinct SymbolicScopes and jax.export rejects the mix.
+    (b,) = _jx.symbolic_shape("b")
     specs = []
     for a in example_args:
         arr = np.asarray(a)
         if arr.ndim == 0:
             specs.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
         else:
-            (b,) = _jx.symbolic_shape("b")
             specs.append(
                 jax.ShapeDtypeStruct((b,) + arr.shape[1:], arr.dtype)
             )

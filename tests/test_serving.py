@@ -74,6 +74,31 @@ def test_batch_polymorphic_serves_any_size(fitted_marginal):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_batch_polymorphic_multiple_array_args(fitted_marginal):
+    """Every array argument must share ONE symbolic batch dim: per-argument
+    symbol creation makes distinct SymbolicScopes and jax.export rejects the
+    export outright ('Invalid mixing of symbolic scopes')."""
+
+    def weighted_mean(mm, x_new, w):
+        mean, _ = mm.predict_f(x_new)
+        return mean * w
+
+    grid8 = np.linspace(0, 6, 8).reshape(-1, 1).astype(np.float32)
+    w8 = np.full((8, 1), 2.0, np.float32)
+    art = serving.export_predictor(
+        fitted_marginal, weighted_mean, grid8, w8, batch_polymorphic=True
+    )
+    for n in (5, 8, 21):
+        g = np.linspace(0, 6, n).reshape(-1, 1).astype(np.float32)
+        w = np.full((n, 1), 2.0, np.float32)
+        out = art(jnp.asarray(g), jnp.asarray(w))
+        assert out.shape == (n, 1)
+        ref = 2.0 * np.asarray(
+            fitted_marginal.run(lambda mm: mm.predict_f(g))[0]
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-5)
+
+
 def test_sampler_export_reproducible_draws():
     hb.set_seed(1)
     X, Y = make_sine_dataset(n=20)
