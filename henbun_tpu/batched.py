@@ -114,28 +114,43 @@ class BatchedOptimizer(Optimizer):
         mb_paths = self._mb_paths
         M = len(self.models)
 
+        self._diag_guards = guards = {}
+
         def one_model(trainable_i, frozen_i, d_i, key_i):
             params = dict(trainable_i)
             params.update(frozen_i)
-            with _ctx.trace(model, params, d_i, key_i):
-                return method(model)
+            with _ctx.trace(model, params, d_i, key_i) as ctx:
+                val = method(model)
+                diags = dict(ctx.diagnostics)
+                guards.update(ctx.diagnostic_guards)
+            return val, diags
 
-        def evaluate_core(trainable, frozen, d, key):
-            vals = jax.vmap(one_model)(
+        def evaluate_core_aux(trainable, frozen, d, key):
+            vals, diags = jax.vmap(one_model)(
                 trainable, frozen, d, jax.random.split(key, M)
             )
-            return jnp.sum(vals)
+            # guard on the worst model in the fleet
+            return jnp.sum(vals), jax.tree_util.tree_map(
+                lambda a: jnp.max(a, axis=0), diags
+            )
 
         if num_elbo_samples > 1:
             S = int(num_elbo_samples)
-            _core_one = evaluate_core
+            _core_one = evaluate_core_aux
 
-            def evaluate_core(trainable, frozen, d, key):
+            def evaluate_core_aux(trainable, frozen, d, key):
                 keys = jax.random.split(key, S)
-                vals = jax.vmap(
+                vals, diags = jax.vmap(
                     lambda k: _core_one(trainable, frozen, d, k)
                 )(keys)
-                return jnp.mean(vals)
+                return jnp.mean(vals), jax.tree_util.tree_map(
+                    lambda a: jnp.max(a, axis=0), diags
+                )
+
+        def evaluate_core(trainable, frozen, d, key):
+            return evaluate_core_aux(trainable, frozen, d, key)[0]
+
+        self._evaluate_core_aux = evaluate_core_aux
 
         def evaluate(trainable, frozen, data, idx, key):
             d = {}

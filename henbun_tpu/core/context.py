@@ -47,6 +47,8 @@ class TraceContext:
         "samples",
         "rng_counts",
         "training",
+        "diagnostics",
+        "diagnostic_guards",
     )
 
     def __init__(self, root, params, data, key, training=True):
@@ -58,6 +60,32 @@ class TraceContext:
         self.samples = {}     # {path: dict(u=..., raw=..., transformed=...)} per Variational
         self.rng_counts = {}  # {tag: draw count} for tagged_key
         self.training = training
+        self.diagnostics = {}        # {name: traced scalar} side-channel
+        self.diagnostic_guards = {}  # {name: (tol, hint)} static guard specs
+
+    def report_diagnostic(self, name, value, guard_tol=None, hint=""):
+        """Expose a traced scalar to the training driver.
+
+        An objective's internal validity signal (e.g. EP's last-sweep site
+        change, whose stationarity gradient is only exact at convergence) has
+        no path out of a jitted scan through the scalar objective. Reported
+        diagnostics ride the chunk outputs: the Optimizer stacks them per
+        step, records the latest value in StepMetrics, and — when
+        ``guard_tol`` is given — aborts the run with ``hint`` in the message
+        on a PERSISTENT violation (chunk ends above tol, or >25% of its
+        steps violate; isolated transient spikes only warn — the nan-guard
+        'fail usefully' pattern, model.py:optimize). Values must be
+        scalars; tol/hint must be static Python
+        values. Repeated reports under one name within a trace keep the
+        elementwise MAX (several EP blocks in one objective guard on the
+        worst one)."""
+        if name in self.diagnostics:
+            import jax.numpy as jnp
+
+            value = jnp.maximum(self.diagnostics[name], value)
+        self.diagnostics[name] = value
+        if guard_tol is not None:
+            self.diagnostic_guards[name] = (float(guard_tol), str(hint))
 
     def node_key(self, path):
         """A PRNG key unique to a tree node, stable across mesh shapes and

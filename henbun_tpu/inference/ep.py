@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from .._settings import settings
+from ..core import context as _ctx
 from ..ops.linalg import matmul_hp, safe_cholesky, tri_solve
 from ..ops.quadrature import _nodes
 
@@ -111,7 +112,7 @@ def _tilted_moments(loglik_fn, m_c, v_c, deg):
 
 
 def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
-          tau_cav_floor=1e-6, implicit_diff=True):
+          tau_cav_floor=1e-6, implicit_diff=True, delta_tol=1e-2):
     """Parallel EP for f ~ N(0, K) with factorizing likelihood.
 
     loglik_fn: f [n, deg] -> elementwise log-likelihood [n, deg] (close over
@@ -127,7 +128,10 @@ def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
     makes the backward pay ONE final posterior/evidence section instead of
     reverse-mode through all `sweeps` unrolled sweeps. The premise is
     convergence: check `delta` ~ 0 (a test pins implicit-vs-unrolled
-    gradient agreement on a converged classification fit).
+    gradient agreement on a converged classification fit). When called
+    inside a TRAINING trace, the premise is enforced: `delta` is reported
+    to the Optimizer, which logs it per chunk and aborts when it exceeds
+    `delta_tol` (see `core.context.report_diagnostic`).
     `implicit_diff=False` differentiates through the unrolled sweeps.
     """
     if jitter is None:
@@ -176,6 +180,27 @@ def ep_gp(loglik_fn, K, sweeps=30, damping=0.5, jitter=None, deg=20,
     if implicit_diff:
         nu = jax.lax.stop_gradient(nu)
         tau = jax.lax.stop_gradient(tau)
+        # the stationarity gradient is only exact AT the fixed point — a
+        # training run whose sweeps don't converge gets silently biased
+        # gradients. Surface the residual to the Optimizer, which records it
+        # in StepMetrics and aborts past delta_tol with the remedy named
+        # (context.report_diagnostic; test_ep pins the trip).
+        ctx = _ctx.current()
+        if ctx is not None:
+            ctx.report_diagnostic(
+                "ep_delta",
+                deltas[-1],
+                guard_tol=delta_tol,
+                hint=(
+                    " EP's fixed-point (implicit_diff) gradient assumes the"
+                    " sweeps CONVERGED; this run's last-sweep site change"
+                    " exceeded delta_tol, so evidence gradients are biased."
+                    " Raise sweeps, lower damping (non-log-concave"
+                    " likelihoods often need <=0.3), raise delta_tol if the"
+                    " residual is acceptable, or pass implicit_diff=False"
+                    " to differentiate through the unrolled sweeps."
+                ),
+            )
 
     # final posterior + evidence from the converged sites
     mu, sig2, Lb = _posterior_from_sites(K, nu, tau, jitter)

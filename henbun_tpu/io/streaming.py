@@ -21,6 +21,7 @@ def optimize_streaming(
     column_slices,
     maxiter,
     minibatch_size,
+    test_frac=0.0,
 ):
     """Run `maxiter` steps of `optimizer` streaming data from `loader`.
 
@@ -30,9 +31,15 @@ def optimize_streaming(
     - column_slices: [(lo, hi), ...] column ranges of each MinibatchData node
       within a row, in the model's name-sorted MinibatchData order (as
       returned by `write_dataset`).
+    - test_frac: held-out fraction of each megabatch, DEFAULT 0 — unlike the
+      in-core Indexer default (0.1), streaming holds nothing out: a split
+      would silently discard 10% of every megabatch read from disk without
+      ever evaluating on it (streaming runs never call test_index). Set >0
+      only if you evaluate per-megabatch yourself.
     """
     model = optimizer.model
     optimizer._require_compiled()
+    model._index.test_frac = float(test_frac)
     mb_nodes = [
         v
         for v in model.get_variables(graph_key.DATA)

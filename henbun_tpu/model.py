@@ -163,11 +163,17 @@ class Model(Parameterized):
 
 class Indexer:
     """Shuffled train/test split with random-with-replacement minibatch
-    index draws (cf. model.py:126-153)."""
+    index draws (cf. model.py:126-153).
 
-    def __init__(self):
+    ``test_frac`` (reference-matching default 0.1) is a plain attribute read
+    at every ``setUp``; set it BEFORE compile()/optimize() to resize the
+    held-out split — ``test_frac = 0.0`` trains on every row (what
+    ``io.optimize_streaming`` does: holding out 10% of each megabatch would
+    silently discard data that was read from disk and never evaluated)."""
+
+    def __init__(self, test_frac=0.1):
         self.data_size = None
-        self.test_frac = 0.1
+        self.test_frac = test_frac
 
     def setUp(self, data_size):
         self.data_size = data_size
@@ -186,6 +192,13 @@ class Indexer:
     def test_index(self, minibatch_size):
         if minibatch_size is None:
             return None
+        if self.test_size == 0:
+            raise ValueError(
+                "no held-out rows: the Indexer was set up with test_frac=0 "
+                "(streaming does this — every row trains). Set "
+                "model._index.test_frac before optimize/compile to keep a "
+                "test split."
+            )
         return self._test_index[
             _rng.get_rng().integers(0, self.test_size, minibatch_size)
         ]
@@ -243,6 +256,8 @@ class Optimizer:
         self._frozen = None
         self._mb_paths = None
         self._evaluate = None
+        self._evaluate_core_aux = None  # (value, diagnostics) variant
+        self._diag_guards = {}          # {name: (tol, hint)}, filled at trace
         self._eval_jit = None
         self._chunk_cache = {}
         self._compiled = False
@@ -297,12 +312,19 @@ class Optimizer:
         method = self.likelihood_method
         mb_paths = self._mb_paths
 
-        def evaluate_core(trainable, frozen, d, key):
-            """Objective on an already-selected per-step data dict."""
+        # static {name: (tol, hint)} registry, filled the first time the
+        # objective actually traces (diagnostic specs are Python constants)
+        self._diag_guards = guards = {}
+
+        def evaluate_core_aux(trainable, frozen, d, key):
+            """Objective + reported diagnostics on a per-step data dict."""
             params = dict(trainable)
             params.update(frozen)
-            with _ctx.trace(model, params, d, key):
-                return method(model)
+            with _ctx.trace(model, params, d, key) as ctx:
+                val = method(model)
+                diags = dict(ctx.diagnostics)
+                guards.update(ctx.diagnostic_guards)
+            return val, diags
 
         if num_elbo_samples > 1:
             # S > 1 averages S independent reparameterized samples of the
@@ -310,14 +332,21 @@ class Optimizer:
             # program) — an S-fold gradient-variance reduction the reference
             # cannot express, nearly free while the chip is latency-bound.
             S = int(num_elbo_samples)
-            _core_one = evaluate_core
+            _core_one = evaluate_core_aux
 
-            def evaluate_core(trainable, frozen, d, key):
+            def evaluate_core_aux(trainable, frozen, d, key):
                 keys = jax.random.split(key, S)
-                vals = jax.vmap(
+                vals, diags = jax.vmap(
                     lambda k: _core_one(trainable, frozen, d, k)
                 )(keys)
-                return jnp.mean(vals)
+                return jnp.mean(vals), jax.tree_util.tree_map(
+                    lambda a: jnp.max(a, axis=0), diags
+                )
+
+        def evaluate_core(trainable, frozen, d, key):
+            return evaluate_core_aux(trainable, frozen, d, key)[0]
+
+        self._evaluate_core_aux = evaluate_core_aux
 
         def evaluate(trainable, frozen, data, idx, key):
             d = {}
@@ -528,24 +557,37 @@ class Optimizer:
             return self._chunk_cache[cache_key]
 
         tx = self.optimizer
-        evaluate_core = self._evaluate_core
+        core_aux = self._evaluate_core_aux
+        if core_aux is None:
+            _core = self._evaluate_core
+
+            def core_aux(trainable, frozen, d, key):
+                return _core(trainable, frozen, d, key), {}
+
         select = self._make_select_batch(minibatch_size, train_size, mode)
 
         def chunk(trainable, opt_state, frozen, data, keys, train_idx):
             def one_step(carry, key):
                 trainable, opt_state = carry
                 d, k_s = select(data, train_idx, key)
-                loss, grads = jax.value_and_grad(
-                    lambda t: -evaluate_core(t, frozen, d, k_s)
+
+                def neg(t):
+                    val, diags = core_aux(t, frozen, d, k_s)
+                    return -val, diags
+
+                (loss, diags), grads = jax.value_and_grad(
+                    neg, has_aux=True
                 )(trainable)
                 updates, opt_state = tx.update(grads, opt_state, trainable)
                 trainable = optax.apply_updates(trainable, updates)
-                return (trainable, opt_state), -loss
+                return (trainable, opt_state), (-loss, diags)
 
-            (trainable, opt_state), objs = jax.lax.scan(
+            (trainable, opt_state), (objs, diags) = jax.lax.scan(
                 one_step, (trainable, opt_state), keys
             )
-            return trainable, opt_state, objs
+            # objs and diags travel as ONE output subtree so the sharded
+            # drivers' 3-tuple out_shardings prefix covers them unchanged
+            return trainable, opt_state, (objs, diags)
 
         fn = self._jit_chunk(chunk)
         self._chunk_cache[cache_key] = fn
@@ -631,7 +673,7 @@ class Optimizer:
                         snap_o = jax.tree_util.tree_map(np.asarray, opt_state)
                     t0 = time.perf_counter()
                     keys = jax.random.split(model._next_key(), n)
-                    trainable, opt_state, objs = fn(
+                    trainable, opt_state, (objs, diags) = fn(
                         trainable, opt_state, self._frozen, data, keys, train_idx
                     )
                     objs_host = np.asarray(objs)  # device sync, once per chunk
@@ -644,7 +686,7 @@ class Optimizer:
                             jax.tree_util.tree_map(jnp.asarray, snap_o)
                         )
                         keys = jax.random.split(model._next_key(), n)
-                        trainable, opt_state, objs = fn(
+                        trainable, opt_state, (objs, diags) = fn(
                             trainable, opt_state, self._frozen, data, keys,
                             train_idx,
                         )
@@ -685,10 +727,83 @@ class Optimizer:
                                 % bad_at
                             )
                     dt = time.perf_counter() - t0
+                    extra = None
+                    if diags:
+                        # Reported diagnostics: log the latest value; a
+                        # guarded one aborts on a PERSISTENT violation (the
+                        # chunk ends above tolerance, or >25% of its steps
+                        # violate) — rolled back to the chunk-start snapshot
+                        # when one exists, so the model is not left trained
+                        # on invalid gradients. An isolated transient spike
+                        # only warns: parallel EP on non-log-concave
+                        # likelihoods is bistable at odd single hyper points
+                        # along an otherwise-converged Adam trajectory
+                        # (measured: one step at delta 0.22 between steps at
+                        # 2e-6 on the Student-t GPR), and one biased step in
+                        # a chunk is noise to Adam, not a broken premise.
+                        extra = {}
+                        for dname, darr in sorted(diags.items()):
+                            dhost = np.asarray(darr).reshape(-1)
+                            extra[dname] = float(dhost[-1])
+                            guard = self._diag_guards.get(dname)
+                            if guard is None:
+                                continue
+                            tol, hint = guard
+                            worst = float(np.max(dhost))
+                            if worst <= tol:
+                                continue
+                            viol_frac = float(np.mean(dhost > tol))
+                            if dhost[-1] > tol or viol_frac > 0.25:
+                                if nan_guard:
+                                    trainable = self._place(
+                                        jax.tree_util.tree_map(
+                                            jnp.asarray, snap_t
+                                        )
+                                    )
+                                    opt_state = self._place(
+                                        jax.tree_util.tree_map(
+                                            jnp.asarray, snap_o
+                                        )
+                                    )
+                                raise FloatingPointError(
+                                    "diagnostic %r exceeded tolerance %.3g "
+                                    "persistently during steps %d-%d (worst "
+                                    "%.3g, %d%% of steps, final %.3g); "
+                                    "aborting%s.%s"
+                                    % (
+                                        dname,
+                                        tol,
+                                        self.global_step,
+                                        self.global_step + n,
+                                        worst,
+                                        int(round(100 * viol_frac)),
+                                        float(dhost[-1]),
+                                        " (chunk rolled back)"
+                                        if nan_guard
+                                        else "",
+                                        hint,
+                                    )
+                                )
+                            if settings.verbosity.optimisation_verb:
+                                print(
+                                    "[henbun] diagnostic %r spiked to %.3g "
+                                    "(> %.3g) transiently in steps %d-%d "
+                                    "(%d%% of steps); continuing"
+                                    % (
+                                        dname,
+                                        worst,
+                                        tol,
+                                        self.global_step,
+                                        self.global_step + n,
+                                        int(round(100 * viol_frac)),
+                                    )
+                                )
                     done += n
                     self.global_step += n
                     self.history.append(objs_host)
-                    self.metrics.record(self.global_step, objs_host, dt, n)
+                    self.metrics.record(
+                        self.global_step, objs_host, dt, n, extra=extra
+                    )
                     if callback is not None:
                         callback(self.global_step, objs_host)
         except KeyboardInterrupt:
