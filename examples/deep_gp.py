@@ -1,8 +1,8 @@
-"""Two-layer deep GP on a step function (doubly-stochastic SVI).
+"""Deep GP on a step function (doubly-stochastic SVI; depth 2 and 3).
 
 A stationary single-layer GP must trade off the sharp jump against the flat
-plateaus; the deep GP warps the input through a learned hidden layer
-instead. Both models get the same inducing budget and training schedule —
+plateaus; the deep GP warps the input through learned hidden layers
+instead. All models get the same inducing budget and training schedule —
 compare the reported RMSEs.
 
 Run: python examples/deep_gp.py [--iters 6000]
@@ -59,6 +59,17 @@ def main(argv=None):
     slope_edge = (h[-1] - h[-3]) / (grid[-1, 0] - grid[-3, 0])
     print("hidden-layer slope at the jump vs at the edge: %.2f vs %.2f"
           % (slope_mid, slope_edge))
+
+    # depth is a knob: a 3-layer composition on the same budget
+    dgp3 = models.DeepGPRegression(seed=0, X=X, Y=Y, num_inducing=32, depth=3)
+    opt3 = dgp3.ELBO()
+    opt3.compile(optax.adam(0.01))
+    opt3.optimize(maxiter=args.iters, minibatch_size=args.minibatch)
+    d3_mean = np.asarray(
+        dgp3.draws(lambda m: m.predict_f(grid), 128)
+    ).mean(0)[:, 0]
+    d3_rmse = np.sqrt(np.mean((d3_mean[away] - truth[away]) ** 2))
+    print("3-layer GP RMSE (away from jump): %.4f" % d3_rmse)
 
 
 if __name__ == "__main__":

