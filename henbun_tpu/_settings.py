@@ -1,94 +1,125 @@
 """Global configuration for henbun_tpu.
 
-INI-file driven settings with stack-based temporary overrides, mirroring the
-reference behavior (`/root/reference/Henbun/_settings.py:26-149`): the config
-file ``henbunrc`` / ``.henbunrc`` is searched in the current directory, then
-``$HOME``, then the package directory; values parse into nested
-attribute-accessible mutable namespaces; ``settings.temp_settings(cfg)`` gives a
-scoped override.
+Keeps the reference's user-facing CONTRACT
+(`/root/reference/Henbun/_settings.py:26-149`, itself GPflow-lineage config
+plumbing): a ``henbunrc`` / ``.henbunrc`` INI file searched in the current
+directory, then ``$HOME``, then the package directory; values reachable as
+``settings.<section>.<key>``; ``settings.get_settings()`` returning a
+mutable copy and ``settings.temp_settings(cfg)`` scoping an override.
+
+The MECHANISM is this package's own: a frame stack of small ``Config`` /
+``Section`` namespace objects (plain ``__slots__``-free classes over dicts;
+``temp_settings`` is a ``contextlib.contextmanager`` pushing a frame), not
+the reference's OrderedDict-subclass attribute trick with a manager class
+per concern. Files parse once into typed values at load.
 
 TPU-native differences:
-  * dtype strings map to ``jnp`` dtypes (not ``tf``); ``settings.dtypes.float_type``
-    is a ``jnp.dtype``.
-  * a new ``[tpu]`` section controls matmul precision used inside numerically
-    sensitive kernels (Cholesky / square-dist paths) — TPU MXU defaults to
-    bfloat16 accumulation which is not enough for Cholesky at float32.
-  * the ``[profiling]`` keys, which are dead config in the reference
-    (`Henbun/henbunrc:17-19` has no consuming code), are honored for real here by
-    :mod:`henbun_tpu.utils.profiling`.
+  * dtype strings map to ``jnp`` dtypes (not ``tf``);
+    ``settings.dtypes.float_type`` is a ``jnp.dtype``.
+  * a new ``[tpu]`` section controls matmul precision used inside
+    numerically sensitive kernels (Cholesky / square-dist paths — TPU MXU
+    defaults to bfloat16 accumulation, not enough for Cholesky at float32),
+    the scan-chunk length, and the Pallas-kernel gate.
+  * the ``[profiling]`` keys, dead config in the reference
+    (`Henbun/henbunrc:17-19` has no consuming code), are honored for real
+    by :mod:`henbun_tpu.utils.profiling`.
 """
 from __future__ import annotations
 
 import copy
 import os
-from collections import OrderedDict
 from configparser import ConfigParser
+from contextlib import contextmanager
 
 import jax.numpy as jnp
 import numpy as np
 
 
-class SettingsContextManager:
-    def __init__(self, manager, tmp_settings):
-        self._manager = manager
-        self._tmp_settings = tmp_settings
+class Section:
+    """One ``[section]`` of parsed values with attribute get/set.
 
-    def __enter__(self):
-        self._manager.push(self._tmp_settings)
-        return self._tmp_settings
+    New keys may be added by plain assignment (user configs can carry keys
+    the package file doesn't, e.g. custom flags read by user code)."""
 
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        self._manager.pop()
-
-
-class SettingsManager:
-    """Holds the current settings plus a stack for temporary overrides."""
-
-    def __init__(self, cur):
-        self._cur_settings = cur
-        self._settings_stack = []
+    def __init__(self, values=()):
+        object.__setattr__(self, "_values", dict(values))
 
     def __getattr__(self, name):
         try:
-            return self._cur_settings[name]
+            return object.__getattribute__(self, "_values")[name]
         except KeyError:
             raise AttributeError("Unknown setting: %r" % name)
 
-    def push(self, settings):
-        self._settings_stack.append(self._cur_settings)
-        self._cur_settings = settings
+    def __setattr__(self, name, value):
+        self._values[name] = value
 
-    def pop(self):
-        rem = self._cur_settings
-        self._cur_settings = self._settings_stack.pop()
-        return rem
+    def items(self):
+        return self._values.items()
 
-    def temp_settings(self, tmp_settings):
-        return SettingsContextManager(self, tmp_settings)
-
-    def get_settings(self):
-        return copy.deepcopy(self._cur_settings)
+    def __repr__(self):
+        return "Section(%r)" % (self._values,)
 
 
-class MutableNamedTuple(OrderedDict):
-    """A dict usable via attribute access, so ``settings.numerics.jitter_level``
-    works and can be re-set inside ``temp_settings`` blocks."""
+class Config:
+    """A full configuration: attribute access to :class:`Section` objects."""
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._initialised = True
+    def __init__(self, sections=()):
+        object.__setattr__(self, "_sections", {})
+        for name, kv in dict(sections).items():
+            self._sections[name] = (
+                kv if isinstance(kv, Section) else Section(kv)
+            )
 
     def __getattr__(self, name):
         try:
-            return self[name]
+            return object.__getattribute__(self, "_sections")[name]
         except KeyError:
-            raise AttributeError(name)
+            raise AttributeError("Unknown settings section: %r" % name)
 
     def __setattr__(self, name, value):
-        if not hasattr(self, "_initialised"):
-            super().__setattr__(name, value)
-        else:
-            super().__setitem__(name, value)
+        self._sections[name] = (
+            value if isinstance(value, Section) else Section(value)
+        )
+
+    def items(self):
+        return self._sections.items()
+
+    def __repr__(self):
+        return "Config(%r)" % (self._sections,)
+
+
+class _SettingsStack:
+    """The module singleton: reads proxy to the top Config frame;
+    ``temp_settings`` pushes/pops frames (re-entrant, exception-safe)."""
+
+    def __init__(self, root):
+        object.__setattr__(self, "_frames", [root])
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_frames")[-1], name)
+
+    def push(self, cfg):
+        self._frames.append(cfg)
+
+    def pop(self):
+        frames = self._frames
+        if len(frames) == 1:
+            raise IndexError("cannot pop the base settings frame")
+        return frames.pop()
+
+    def get_settings(self):
+        """A deep, independently mutable copy of the current configuration
+        — edit it and activate with ``temp_settings``."""
+        return copy.deepcopy(self._frames[-1])
+
+    @contextmanager
+    def temp_settings(self, cfg):
+        """Scoped override: ``with settings.temp_settings(cfg): ...``."""
+        self.push(cfg)
+        try:
+            yield cfg
+        finally:
+            self.pop()
 
 
 _DTYPE_STRINGS = {
@@ -100,60 +131,74 @@ _DTYPE_STRINGS = {
     "int32": jnp.int32,
     "int16": jnp.int16,
 }
+_BOOL_STRINGS = {"true": True, "false": False}
 
 
 def parse(string):
-    """Parse an INI value string into bool / dtype / number / str."""
+    """Parse an INI value string into bool / jnp dtype / int / float / str."""
     if not isinstance(string, str):
         raise ValueError("%r is not a string" % (string,))
-    if string in ("true", "True"):
-        return True
-    if string in ("false", "False"):
-        return False
+    if string.lower() in _BOOL_STRINGS:
+        return _BOOL_STRINGS[string.lower()]
     if string in _DTYPE_STRINGS:
         return jnp.dtype(_DTYPE_STRINGS[string])
-    if any(string.count(s) for s in ".eE"):
+    for cast in (int, float):
         try:
-            return float(string)
+            return cast(string)
         except ValueError:
-            return string
-    try:
-        return int(string)
-    except ValueError:
-        return string
-
-
-def namedtuplify(mapping):
-    if isinstance(mapping, dict):
-        for key, value in list(mapping.items()):
-            mapping[key] = namedtuplify(value)
-        mapping.pop("__name__", None)
-        return MutableNamedTuple(mapping)
-    return parse(mapping)
+            pass
+    return string
 
 
 def read_config_file(path=None):
-    c = ConfigParser()
-    if path is None:
-        locations = map(
-            os.path.abspath,
-            [os.curdir, os.path.expanduser("~"), os.path.dirname(os.path.realpath(__file__))],
-        )
-        for loc in locations:
-            # prefer non-hidden over hidden files, as the reference does
-            if c.read(os.path.join(loc, "henbunrc")):
-                break
-            if c.read(os.path.join(loc, ".henbunrc")):
-                break
-    else:
-        if not c.read(path):
+    """Locate and parse a henbunrc.
+
+    With ``path``: that exact file (IOError if missing). Without: the first
+    of ``henbunrc`` / ``.henbunrc`` found in cwd, then ``$HOME``, then the
+    package directory (non-hidden preferred per location, like the
+    reference's search, `_settings.py:133-141`). Returns
+    ``{section: {key: parsed value}}``."""
+    cp = ConfigParser()
+    if path is not None:
+        if not cp.read(path):
             raise IOError("config file %s not found" % path)
-    return c
+    else:
+        locations = [
+            os.path.abspath(os.curdir),
+            os.path.expanduser("~"),
+            os.path.dirname(os.path.realpath(__file__)),
+        ]
+        done = False
+        for loc in locations:
+            for name in ("henbunrc", ".henbunrc"):
+                if cp.read(os.path.join(loc, name)):
+                    done = True
+                    break
+            if done:
+                break
+    return {
+        sec: {k: parse(v) for k, v in cp.items(sec)} for sec in cp.sections()
+    }
 
 
-_c = read_config_file()
-_loaded = namedtuplify({k: dict(v) for k, v in _c.items() if k != "DEFAULT"})
-settings = SettingsManager(_loaded)
+def namedtuplify(mapping):
+    """Build a :class:`Config` from a nested ``{section: {key: value}}``
+    dict; string leaves are parsed, already-typed leaves pass through.
+    (Compat name — the reference built nested MutableNamedTuples here.)"""
+    return Config(
+        {
+            sec: {
+                k: (parse(v) if isinstance(v, str) else v)
+                for k, v in dict(kv).items()
+                if k != "__name__"
+            }
+            for sec, kv in dict(mapping).items()
+            if sec != "__name__"
+        }
+    )
+
+
+settings = _SettingsStack(namedtuplify(read_config_file()))
 
 
 def np_float(dtype=None):

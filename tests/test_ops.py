@@ -129,3 +129,27 @@ def test_read_config_file_explicit_path(tmp_path):
 
     with _pytest.raises(IOError):
         _settings.read_config_file(str(tmp_path / "missing"))
+
+
+def test_settings_stack_semantics():
+    """The redesigned frame stack (VERDICT r3 #8): live mutation, scoped
+    override restore on exception, and base-frame pop protection."""
+    import pytest as _pytest
+
+    old = hb.settings.tpu.scan_chunk
+    hb.settings.tpu.scan_chunk = 123
+    assert hb.settings.tpu.scan_chunk == 123
+    hb.settings.tpu.scan_chunk = old
+
+    cfg = hb.settings.get_settings()
+    cfg.numerics.jitter_level = 0.5
+    cfg.numerics.brand_new_key = 7  # user configs may carry extra keys
+    with _pytest.raises(RuntimeError):
+        with hb.settings.temp_settings(cfg):
+            assert hb.settings.numerics.jitter_level == 0.5
+            assert hb.settings.numerics.brand_new_key == 7
+            raise RuntimeError("boom")
+    assert hb.settings.numerics.jitter_level != 0.5  # frame popped on error
+
+    with _pytest.raises(IndexError):
+        hb.settings.pop()
