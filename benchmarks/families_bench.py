@@ -82,6 +82,17 @@ def main():
         rate(m.ELBO().compile(optax.adam(0.02)), args.steps, 512),
     ))
 
+    # deterministic sparse Laplace: FULL-BATCH evidence at n=1e5 per step
+    # (15 m x m Newton iterations + IFT backward inside every step)
+    p1 = 1.0 / (1.0 + np.exp(-3.0 * np.sin(Xp)))
+    Yb = (rng.uniform(size=Xp.shape) < p1).astype(np.float32)
+    m = models.SparseGPC(seed=0, X=Xp, Y=Yb, num_inducing=128)
+    sp_steps = max(args.steps // 10, 200)  # full-batch: fewer, fatter steps
+    rows.append((
+        "SparseGPC n=1e5 m=128, full-batch Laplace evidence",
+        rate(m.log_marginal_laplace().compile(optax.adam(0.05)), sp_steps),
+    ))
+
     for name, r in rows:
         print("%-52s %10.0f steps/s" % (name, r))
 

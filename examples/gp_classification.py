@@ -1,4 +1,4 @@
-"""Binary GP classification three ways — the deterministic engines side by
+"""Binary GP classification four ways — the deterministic engines side by
 side on the same generator:
 
   * exact-gram Laplace (`models.GPC`, inference/laplace.py): Newton mode +
@@ -6,7 +6,10 @@ side on the same generator:
   * exact-gram expectation propagation (GPC.log_marginal_ep,
     inference/ep.py): moment-matched sites, the accuracy reference;
   * inducing-point SVGP with the deterministic quadrature ELBO and natural
-    gradients (`models.SVGPClassification`) for the large-n regime.
+    gradients (`models.SVGPClassification`) for the large-n regime;
+  * inducing-point Laplace (`models.SparseGPC`): the FULLY deterministic
+    large-n path — evidence-trained hyperparameters with no variational
+    parameters, every factorization m x m.
 
 The reference ships `densities.bernoulli` broken (TF<1.0 `tf.select`,
 /root/reference/Henbun/densities.py:35-36) and no classifier at all; this
@@ -85,6 +88,16 @@ def main(argv=None):
                  minibatch_mode="block")
     p_draws = np.asarray(m_sv.draws(lambda mm: mm.predict_p(grid)[0], 200))
     report("SVGP quadrature+natgrad", p_draws.mean(0)[:, None])
+
+    # --- inducing-point Laplace: deterministic evidence at the same n ------
+    m_sl = models.SparseGPC(seed=0, X=Xl, Y=Yl, num_inducing=64)
+    opt = m_sl.log_marginal_laplace()
+    opt.compile(optax.adam(0.05))
+    opt.optimize(maxiter=args.iters)  # full-batch: each step sees all n rows
+    print("Sparse Laplace evidence/n: %.4f"
+          % (float(opt.run()) / args.n_svgp))
+    report("SparseGPC Laplace",
+           np.asarray(m_sl.run(lambda mm: mm.predict_p(grid))))
 
 
 if __name__ == "__main__":

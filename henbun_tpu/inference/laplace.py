@@ -203,6 +203,15 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
     differentiable; summed internally). Lk: [n, n] lower factor of the
     (scaled) prior covariance, i.e. cov(f) = Lk Lk^T.
 
+    Lk may also be RECTANGULAR [n, m] (any projection f = Lk v of a
+    whitened m-dim latent v ~ N(0, I_m), cov(f) = Lk Lk^T of rank m): this
+    is the inducing-point (DTC-projected) Laplace used by
+    ``models.SparseGPC`` with Lk = sqrt(k_var) (Lm^-1 K(z, x))^T. Every
+    factorization is then m x m — O(n m^2 + m^3) per Newton iteration
+    instead of O(n^3), so deterministic non-Gaussian training and evidence
+    reach n >= 1e5. v_mode/f_var come back sized [m, 1]/[n, 1]; predictive
+    marginals via :func:`laplace_projected_marginals`.
+
     Returns a :class:`LaplaceResult`. Differentiable w.r.t. everything
     `loglik_fn` and `Lk` close over (kernel hyperparameters, likelihood
     scales): by the implicit function theorem at the mode by default
@@ -217,8 +226,10 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
     `grad_norm` means Newton did not converge — check both diagnostics.
     """
     if implicit_diff:
+        # shape[-2], not [-1]: rectangular projections (inducing-point
+        # Laplace, A [n, m]) evaluate the likelihood at n points, not m
         loglik_conv, consts = jax.closure_convert(
-            loglik_fn, jnp.zeros((Lk.shape[-1], 1), Lk.dtype)
+            loglik_fn, jnp.zeros((Lk.shape[-2], 1), Lk.dtype)
         )
         v_star = _newton_mode_implicit(
             loglik_conv, int(newton_iters), float(jitter), Lk, tuple(consts)
@@ -251,6 +262,36 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
         log_marginal=log_marginal,
         grad_norm=jnp.linalg.norm(grad_psi),
     )
+
+
+def laplace_projected_marginals(loglik_fn, A, res, Astar, corr_diag,
+                                jitter=1e-6):
+    """Predictive latent marginals (mean [n*, 1], var [n*, 1]) under a
+    RECTANGULAR (inducing-point) Laplace posterior.
+
+    res: a :class:`LaplaceResult` from ``laplace_whitened(loglik_fn, A)``
+    with A [n, m] (training projection); Astar [n*, m] is the same
+    projection at the new inputs; corr_diag [n*] is the residual prior
+    variance the projection can't express (the FITC/`_additional_cov`
+    diagonal times the kernel variance — pass 0 for pure DTC). With the
+    posterior over the whitened inducing latent q(v) = N(v_mode, B^-1),
+    B = I_m + A^T W A at the TRUE mode curvature:
+
+        E[f*] = Astar v_mode
+        V[f*] = colnorm(Lb^-1 Astar^T)^2 + corr_diag
+
+    All factorizations are m x m; cost O((n + n*) m^2 + m^3)."""
+    from ..ops.linalg import tri_solve
+
+    m = A.shape[-1]
+    I = jnp.eye(m, dtype=A.dtype)
+    mean = matmul_hp(Astar, res.v_mode)  # [n*, 1]
+    W = _curvature(loglik_fn, res.f_mode)
+    B = I + matmul_hp(jnp.swapaxes(A, -1, -2), W * A)
+    Lb = safe_cholesky(B, jitter)
+    G = tri_solve(Lb, jnp.swapaxes(Astar, -1, -2))  # [m, n*]
+    var = (jnp.sum(jnp.square(G), axis=0) + corr_diag)[:, None]
+    return mean, var
 
 
 def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):

@@ -13,7 +13,7 @@ from .svgp import (
     SVGPCount,
     SVGPMulticlass,
 )
-from .gpc import GPC
+from .gpc import GPC, SparseGPC
 from .hetero import HeteroscedasticGPR, make_hetero_dataset
 from .multioutput import MultiOutputGPR, make_multioutput_dataset
 from .deepgp import DeepGPRegression, make_step_dataset

@@ -1,4 +1,4 @@
-"""Full-data binary GP classification via Laplace or expectation propagation.
+"""Binary GP classification via Laplace or expectation propagation.
 
 The GPML ch. 3 classic, TPU-shaped: the Bernoulli-sigmoid likelihood is
 log-concave, so the whitened Newton mode (`inference/laplace.py`, one
@@ -11,10 +11,21 @@ moments instead of curvature — GPML ch. 3.6's accuracy reference for this
 model, at the cost of ~30 damped parallel sweeps instead of ~15 Newton
 iterations.
 
+Two scales share this module:
+
+* ``GPC`` — the exact-gram, full-batch classifier for n up to a few
+  thousand per chip (O(n^3) factorizations).
+* ``SparseGPC`` — the INDUCING-POINT Laplace classifier: the same
+  deterministic evidence and predictive pipeline at n >= 1e5, every
+  factorization m x m (the reference's own scaling hook, its inducing-point
+  approximation `/root/reference/Henbun/gp/gp.py:53-143`, applied to the
+  deterministic engine instead of the sampling path). With z = X it IS
+  GPC's Laplace (pinned by a test).
+
 Complements `SVGPClassification` (models/svgp.py — minibatched inducing
-point MC-VI for large n): GPC is the exact-gram, full-batch counterpart for
-n up to a few thousand per chip, with a deterministic objective. The
-reference ships the (broken) `densities.bernoulli` and no classifier at all
+point quadrature/MC-VI): these train hyperparameters by evidence with no
+variational parameters at all. The reference ships the (broken)
+`densities.bernoulli` and no classifier at all
 (`/root/reference/Henbun/densities.py:35-36`).
 
 Labels y are {0, 1} floats of shape [n, 1].
@@ -124,6 +135,106 @@ class GPC(hb.model.Model):
         Ks = self.kern.K(self.X, x_new) * self.k_var
         kdiag = self.kern.Kdiag(x_new) * self.k_var[0]
         mean, var = ep_latent_marginals(res, K, Ks, kdiag)
+        p = gauss_hermite_expectation(
+            lambda f: jax.nn.sigmoid(f), mean[:, 0], var[:, 0], deg=deg
+        )
+        return p[:, None]
+
+
+class SparseGPC(hb.model.Model):
+    """Inducing-point Laplace GP binary classifier: deterministic
+    non-Gaussian training, evidence and prediction at large n.
+
+    DTC projection: the likelihood sees f = A v with
+    A = sqrt(k_var) (Lm^-1 K(z, x))^T [n, m] and a whitened inducing latent
+    v ~ N(0, I_m) — `laplace_whitened` accepts the rectangular projection
+    directly, so the Newton mode, IFT evidence gradients and curvature all
+    factorize m x m: O(n m^2 + m^3) per iteration instead of the exact
+    gram's O(n^3). Prediction restores the residual (FITC) variance the
+    projection can't express via `_additional_cov`, then Gauss-Hermite
+    integrates the sigmoid — the same pipeline as GPC.
+
+    Train FULL-BATCH (the Newton mode is a deterministic function of all
+    fed rows; optimize() without minibatch_size). A minibatch objective
+    would be the Laplace evidence OF THE MINIBATCH — stochastic and
+    unscaled — so don't, unless you know you want that.
+    """
+
+    def setUp(self, X, Y, num_inducing=128, kern=None, newton_iters=15):
+        import numpy as np
+
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(Y)
+        self.n_data = X.shape[0]
+        self._newton_iters = int(newton_iters)
+        z = np.quantile(
+            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
+        ).astype(np.float32)
+        self.gp = hb.gp.SparseGP(
+            kern if kern is not None else hb.gp.kernels.UnitRBF(), z
+        )
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def _loglik(self):
+        y = self.y
+        return lambda f: _bernoulli_logit(y, f)
+
+    def _A(self, x):
+        """The projection sqrt(k_var) (Lm^-1 K(z, x))^T: [B, m]."""
+        LnT = self.gp._effective_LT(x)  # [m, B]
+        return jnp.swapaxes(LnT, -1, -2) * jnp.sqrt(self.k_var)
+
+    @hb.AutoOptimize()
+    def log_marginal_laplace(self):
+        """Sparse Laplace evidence — deterministic; trains kernel
+        hyperparameters AND inducing locations z by gradient."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        return laplace_whitened(
+            self._loglik(), self._A(self.x),
+            newton_iters=self._newton_iters,
+        ).log_marginal
+
+    def laplace(self):
+        """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
+        current hyperparameters (``m.run(SparseGPC.laplace)``); ``v_mode``
+        is the whitened inducing mode [m, 1]."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        return laplace_whitened(
+            self._loglik(), self._A(self.x),
+            newton_iters=self._newton_iters,
+        )
+
+    def predict_f_marginals(self, x_new):
+        """Latent Laplace marginals (mean [n*, 1], var [n*, 1]) at new
+        inputs; variance includes the residual (FITC) term."""
+        from henbun_tpu.inference.laplace import (
+            laplace_projected_marginals,
+            laplace_whitened,
+        )
+
+        loglik = self._loglik()
+        A = self._A(self.x)
+        res = laplace_whitened(
+            loglik, A, newton_iters=self._newton_iters
+        )
+        x_new = jnp.asarray(x_new)
+        LsT = self.gp._effective_LT(x_new)  # [m, n*]
+        Astar = jnp.swapaxes(LsT, -1, -2) * jnp.sqrt(self.k_var)
+        corr = (
+            jnp.maximum(
+                self.gp._additional_cov(x_new, LsT, "diagonal"), 0.0
+            )
+            * self.k_var[0]
+        )
+        return laplace_projected_marginals(loglik, A, res, Astar, corr)
+
+    def predict_p(self, x_new, deg=20):
+        """Deterministic posterior predictive p(y=1 | x_new) [n*, 1]."""
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        mean, var = self.predict_f_marginals(x_new)
         p = gauss_hermite_expectation(
             lambda f: jax.nn.sigmoid(f), mean[:, 0], var[:, 0], deg=deg
         )

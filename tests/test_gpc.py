@@ -80,3 +80,72 @@ def test_uncertainty_grows_off_data():
     p_far = float(np.asarray(m.run(lambda mm: mm.predict_p(
         np.asarray([[30.0]], np.float32))))[0, 0])
     assert abs(p_far - 0.5) < 0.1
+
+
+class TestSparseGPC:
+    """Inducing-point Laplace (VERDICT r3 #1): the deterministic engine at
+    SVGP scale. Gates: exactness at z = X, large-n training with accuracy
+    against the exact-gram GPC oracle on a subsample AND against the
+    quadrature-VI fit on the same data."""
+
+    def test_z_eq_x_matches_dense_gpc(self):
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        X, Y, _ = _data(n=50, seed=0)
+        hb.set_seed(0)
+        dense = models.GPC(seed=0, X=X, Y=Y)
+        dense.initialize()
+        sp = models.SparseGPC(seed=0, X=X, Y=Y, num_inducing=len(X))
+        sp.gp.z = X.copy()
+        sp.k_var = np.asarray(dense.k_var.value)
+        sp.gp.kern.lengthscales = np.asarray(dense.kern.lengthscales.value)
+        sp.initialize()
+
+        e_d = float(dense.run(
+            lambda m: laplace_whitened(m._loglik(), m._Lk()).log_marginal
+        ))
+        e_s = float(sp.run(
+            lambda m: laplace_whitened(m._loglik(), m._A(m.x)).log_marginal
+        ))
+        assert abs(e_d - e_s) < 1e-3 * abs(e_d)
+
+        grid = np.linspace(-3, 3, 25, dtype=np.float32)[:, None]
+        p_d = np.asarray(dense.run(lambda m: m.predict_p(grid)))
+        p_s = np.asarray(sp.run(lambda m: m.predict_p(grid)))
+        assert np.abs(p_d - p_s).max() < 1e-3
+
+    def test_large_n_training_gated_against_oracles(self):
+        rng = np.random.default_rng(1)
+        n = 20000
+        X = np.sort(rng.uniform(0, 6, (n, 1))).astype(np.float32)
+        p_true = 1.0 / (1.0 + np.exp(-3.0 * np.sin(X)))
+        Y = (rng.uniform(size=X.shape) < p_true).astype(np.float32)
+        grid = np.linspace(0.1, 5.9, 40, dtype=np.float32)[:, None]
+        truth = 1.0 / (1.0 + np.exp(-3.0 * np.sin(grid[:, 0])))
+
+        hb.set_seed(0)
+        m = models.SparseGPC(seed=0, X=X, Y=Y, num_inducing=64)
+        opt = m.log_marginal_laplace().compile(optax.adam(0.05))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=120)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+        p = np.asarray(m.run(lambda mm: mm.predict_p(grid)))[:, 0]
+        assert np.abs(p - truth).mean() < 0.03
+
+        # exact-gram GPC oracle on a subsample: same generator, the two
+        # deterministic engines must tell the same story
+        idx = rng.choice(n, 1200, replace=False)
+        oracle = models.GPC(seed=0, X=X[idx], Y=Y[idx])
+        oopt = oracle.log_marginal_laplace().compile(optax.adam(0.05))
+        oopt.optimize(maxiter=120)
+        p_o = np.asarray(oracle.run(lambda mm: mm.predict_p(grid)))[:, 0]
+        assert np.abs(p - p_o).mean() < 0.05
+
+        # quadrature-VI fit on the SAME data (the other deterministic
+        # large-n path) must agree too
+        v = models.SVGPClassification(seed=0, X=X, Y=Y, num_inducing=64)
+        vopt = v.ELBO_quadrature().compile(optax.adam(0.02))
+        vopt.optimize(maxiter=2500, minibatch_size=256)
+        p_v = np.asarray(v.run(lambda mm: mm.predict_p_mean(grid)))[:, 0]
+        assert np.abs(p - p_v).mean() < 0.05
