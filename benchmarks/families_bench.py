@@ -82,6 +82,20 @@ def main():
         rate(m.ELBO().compile(optax.adam(0.02)), args.steps, 512),
     ))
 
+    Xh, Yh, _ = models.make_hetero_dataset(n=100_000, seed=0)
+    m = models.HeteroSVGP(seed=0, X=Xh, Y=Yh, num_inducing=64)
+    rows.append((
+        "HeteroSVGP n=1e5 m=64, analytic ELBO, mb=512",
+        rate(m.ELBO_analytic().compile(optax.adam(0.02)), args.steps, 512),
+    ))
+
+    Xm, Ym, _ = models.make_multioutput_dataset(n=100_000, seed=0)
+    m = models.MultiOutputSVGP(seed=0, X=Xm, Y=Ym, Q=2, num_inducing=64)
+    rows.append((
+        "MultiOutputSVGP n=1e5 P=3 Q=2 m=64, analytic ELBO, mb=512",
+        rate(m.ELBO_analytic().compile(optax.adam(0.02)), args.steps, 512),
+    ))
+
     # deterministic sparse Laplace: FULL-BATCH evidence at n=1e5 per step
     # (15 m x m Newton iterations + IFT backward inside every step)
     p1 = 1.0 / (1.0 + np.exp(-3.0 * np.sin(Xp)))

@@ -57,6 +57,21 @@ def main(argv=None):
     mc = np.mean([float(opt2.run()) for _ in range(20)])
     print("MC ELBO (20-draw mean):", mc)
 
+    # inducing-point scale: the SAME closed-form objective at 100x the rows
+    n_big = max(args.n * 100, 10000)
+    Xb, Yb, _ = models.make_hetero_dataset(n=n_big, seed=1)
+    mb = models.HeteroSVGP(seed=0, X=Xb, Y=Yb, num_inducing=32)
+    ob = mb.ELBO_analytic()
+    ob.compile(optax.adam(0.02))
+    ob.optimize(maxiter=args.iters, minibatch_size=512)
+    gb, _ = mb.run(lambda mm: mm.predict_g(grid))
+    sdb = np.exp(0.5 * np.asarray(gb)[:, 0])
+    fb, _ = mb.run(lambda mm: mm.predict_y(grid))
+    print("HeteroSVGP n=%d: mean RMSE %.4f, sd quiet %.3f loud %.3f"
+          % (n_big,
+             float(np.sqrt(np.mean((np.asarray(fb)[:, 0] - np.sin(grid[:, 0])) ** 2))),
+             sdb[grid[:, 0] < 2].mean(), sdb[grid[:, 0] > 4].mean()))
+
 
 if __name__ == "__main__":
     main()

@@ -14,7 +14,7 @@ from .svgp import (
     SVGPMulticlass,
 )
 from .gpc import GPC, SparseGPC
-from .hetero import HeteroscedasticGPR, make_hetero_dataset
-from .multioutput import MultiOutputGPR, make_multioutput_dataset
+from .hetero import HeteroscedasticGPR, HeteroSVGP, make_hetero_dataset
+from .multioutput import MultiOutputGPR, MultiOutputSVGP, make_multioutput_dataset
 from .deepgp import DeepGPRegression, make_step_dataset
 from .gplvm import GPLVM, make_curve_dataset

@@ -208,3 +208,102 @@ def make_hetero_dataset(n=120, seed=0):
     sd = 0.05 + 0.4 / (1.0 + np.exp(-2.0 * (X - 3.0)))
     Y = (np.sin(X) + rng.normal(size=X.shape) * sd).astype(np.float32)
     return X, Y, sd.astype(np.float32)
+
+
+class HeteroSVGP(hb.model.Model):
+    """Heteroscedastic regression at SVGP scale: the closed-form E[e^{-g}]
+    ELBO survives the sparse marginals unchanged (VERDICT r3 #4), so the
+    deterministic objective now reaches n >= 1e5 with minibatches.
+
+    Two inducing-point latents share one z grid: f (mean) and g (log noise
+    variance), each a whitened Normal posterior over m inducing values;
+    per-minibatch-point marginals come from `_whitened_marginals` (the SVGP
+    projection algebra) and plug into the same lognormal-mean identity as
+    the exact-gram family:
+
+        E[log N(y | f, e^g)] = -0.5 log 2pi - 0.5 mg
+                               - 0.5 ((y - mf)^2 + vf) exp(-mg + vg/2)
+
+    No init cliff here: the identity q_sqrt init puts the inducing marginal
+    variances at O(Kdiag) = O(1), unlike the dense family's O(n^2/4)
+    fullrank init (see HeteroscedasticGPR.setUp).
+    """
+
+    def setUp(self, X, Y, num_inducing=64, q_shape="fullrank"):
+        from .svgp import _whitened_marginals  # noqa: F401 (documented dep)
+
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(Y)
+        self.n_data = X.shape[0]
+        m = int(num_inducing)
+        z = np.quantile(
+            np.asarray(X), np.linspace(0.0, 1.0, m), axis=0
+        ).astype(np.float32)
+        self.gp_f = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z)
+        self.gp_g = hb.gp.SparseGP(hb.gp.kernels.UnitRBF(), z.copy())
+        self.u_f = hb.variationals.Normal(
+            shape=[1, m], q_shape=q_shape, analytic_kl=True
+        )
+        self.u_g = hb.variationals.Normal(
+            shape=[1, m], q_shape=q_shape, analytic_kl=True
+        )
+        if q_shape == "fullrank":
+            eye = np.eye(m, dtype=np.float32)
+            self.u_f.q_sqrt = eye.copy()
+            self.u_g.q_sqrt = eye.copy()
+        self.k_var_f = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.k_var_g = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.g0 = hb.Variable(shape=[1], mean=-2.0)
+
+    # ------------------------------------------------------------- internals
+    def _marginals(self, x):
+        """Sparse marginals of f and g at x: (mf [B], vf [B], mg [B], vg [B])."""
+        from .svgp import _whitened_marginals
+
+        fmean, fvar = _whitened_marginals(
+            self.gp_f, self.__dict__["u_f"], x, self.k_var_f
+        )
+        gmean, gvar = _whitened_marginals(
+            self.gp_g, self.__dict__["u_g"], x, self.k_var_g
+        )
+        return fmean, fvar, gmean + self.g0[0], gvar
+
+    # ------------------------------------------------------------ objectives
+    @hb.AutoOptimize()
+    def ELBO_analytic(self):
+        """Deterministic (given the minibatch) closed-form ELBO; pair with
+        Adam or low-gamma natural gradients (deterministic but NOT
+        conjugate — the exp(-g) coupling, same rule as the dense family)."""
+        fmean, fvar, gmean, gvar = self._marginals(self.x)
+        y = self.y[:, 0]
+        r2 = jnp.square(y - fmean) + fvar
+        e_inv_noise = jnp.exp(-gmean + gvar / 2.0)
+        ell = jnp.sum(-_HALF_LOG_2PI - 0.5 * gmean - 0.5 * r2 * e_inv_noise)
+        return (self.n_data / fmean.shape[0]) * ell - self.KL()
+
+    @hb.AutoOptimize()
+    def ELBO_mc(self):
+        """Reference-style single-sample reparameterized estimator."""
+        f = self.gp_f.samples(self.x, self.u_f)[0] * jnp.sqrt(self.k_var_f)
+        g = (
+            self.gp_g.samples(self.x, self.u_g)[0] * jnp.sqrt(self.k_var_g)
+            + self.g0
+        )
+        y = self.y[:, 0]
+        ell = jnp.sum(densities.gaussian(y, f, jnp.exp(g)))
+        return (self.n_data / f.shape[0]) * ell - self.KL()
+
+    # ------------------------------------------------------------ prediction
+    def predict_y(self, x_new):
+        """Deterministic predictive mean/variance of y at new inputs:
+        E[y*] = E[f*], V[y*] = V[f*] + exp(E[g*] + V[g*]/2).
+        Returns (mean [n*, 1], var [n*, 1])."""
+        fmean, fvar, gmean, gvar = self._marginals(jnp.asarray(x_new))
+        noise = jnp.exp(gmean + gvar / 2.0)
+        return fmean[:, None], (fvar + noise)[:, None]
+
+    def predict_g(self, x_new):
+        """Posterior marginals (mean [n*, 1], var [n*, 1]) of the log noise
+        variance at new inputs."""
+        _, _, gmean, gvar = self._marginals(jnp.asarray(x_new))
+        return gmean[:, None], gvar[:, None]

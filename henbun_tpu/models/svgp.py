@@ -52,6 +52,35 @@ def _whitened_marginals(gp, q, x, k_var):
     return mean * jnp.sqrt(k_var), jnp.maximum(qvar + corr, 0.0) * k_var
 
 
+def _layered_whitened_marginals(gp, q, x, k_var):
+    """Per-latent Gaussian marginals for a LAYERED whitened inducing
+    posterior (q has ``n_layers=[Q]``, shape [1, m], one shared SparseGP):
+    returns (mean [Q, B], var [Q, B]). The layered counterpart of
+    `_whitened_marginals`; shared by the multiclass, multi-output and any
+    other multi-latent sparse family."""
+    from henbun_tpu.ops.linalg import fill_triangular
+
+    LnT = gp._effective_LT(x)  # [m, B]
+    mu = q.q_mu  # [Q, m]
+    mean = jnp.einsum("km,mb->kb", mu, LnT)
+    if q.q_shape == "diagonal":
+        Svar = jnp.exp(2.0 * q.q_sqrt)  # [Q, m]
+        qvar = jnp.einsum("km,mb->kb", Svar, jnp.square(LnT))
+    else:
+        Lq = (
+            fill_triangular(q.q_sqrt, q.size)
+            if q.q_shape == "fullrank_packed"
+            else jnp.tril(q.q_sqrt)
+        )  # [Q, m, m]
+        T = jnp.einsum("kmn,mb->knb", Lq, LnT)  # Lq^T B per latent
+        qvar = jnp.sum(jnp.square(T), axis=1)
+    corr = gp._additional_cov(x, LnT, "diagonal")  # [B]
+    kv = jnp.reshape(k_var, ())
+    # clamp as in _whitened_marginals: corr goes slightly negative in f32
+    # at inducing-point-coincident inputs and consumers sqrt this
+    return mean * jnp.sqrt(kv), jnp.maximum(qvar + corr[None, :], 0.0) * kv
+
+
 class SVGPRegression(hb.model.Model):
     def setUp(self, X, Y, num_inducing=64, q_shape="fullrank",
               analytic_kl=False):
@@ -375,28 +404,9 @@ class SVGPMulticlass(hb.model.Model):
 
     def _logit_marginals(self, x):
         """Per-class Gaussian marginals of the logits at x: ([K, B], [K, B])."""
-        from henbun_tpu.ops.linalg import fill_triangular
-
-        q = self.__dict__["u"]
-        LnT = self.gp._effective_LT(x)  # [m, B]
-        mu = q.q_mu  # [K, m]
-        mean = jnp.einsum("km,mb->kb", mu, LnT)
-        if q.q_shape == "diagonal":
-            Svar = jnp.exp(2.0 * q.q_sqrt)  # [K, m]
-            qvar = jnp.einsum("km,mb->kb", Svar, jnp.square(LnT))
-        else:
-            Lq = (
-                fill_triangular(q.q_sqrt, q.size)
-                if q.q_shape == "fullrank_packed"
-                else jnp.tril(q.q_sqrt)
-            )  # [K, m, m]
-            T = jnp.einsum("kmn,mb->knb", Lq, LnT)  # Lq^T B per class
-            qvar = jnp.sum(jnp.square(T), axis=1)
-        corr = self.gp._additional_cov(x, LnT, "diagonal")  # [B]
-        kv = self.k_var[0]
-        # clamp as in _whitened_marginals: corr goes slightly negative in f32
-        # at inducing-point-coincident inputs and predict_p_mean sqrts this
-        return mean * jnp.sqrt(kv), jnp.maximum(qvar + corr[None, :], 0.0) * kv
+        return _layered_whitened_marginals(
+            self.gp, self.__dict__["u"], x, self.k_var
+        )
 
     def predict_p_mean(self, x_new, num=512):
         """DETERMINISTIC posterior predictive class probabilities [n*, K]:

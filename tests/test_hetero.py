@@ -13,7 +13,11 @@ import optax
 import pytest
 
 import henbun_tpu as hb
-from henbun_tpu.models import HeteroscedasticGPR, make_hetero_dataset
+from henbun_tpu.models import (
+    HeteroscedasticGPR,
+    HeteroSVGP,
+    make_hetero_dataset,
+)
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +90,53 @@ def test_mc_objective_trains_too():
     opt.optimize(maxiter=1500)
     after = np.mean([float(opt.run()) for _ in range(20)])
     assert after > before + 10.0
+
+
+class TestHeteroSVGP:
+    """Inducing-point heteroscedastic regression (VERDICT r3 #4): the
+    closed-form E[e^{-g}] ELBO at n=1e5 with minibatches."""
+
+    @pytest.fixture(scope="class")
+    def fitted_sparse(self):
+        hb.set_seed(0)
+        X, Y, sd = make_hetero_dataset(n=100_000, seed=0)
+        m = HeteroSVGP(seed=0, X=X, Y=Y, num_inducing=32)
+        m.ELBO_analytic().compile(optax.adam(0.02)).optimize(
+            maxiter=4000, minibatch_size=512
+        )
+        return m
+
+    def test_recovers_mean_and_noise_profile_at_1e5(self, fitted_sparse):
+        m = fitted_sparse
+        grid = np.linspace(0.2, 5.8, 40, dtype=np.float32)[:, None]
+        ymean, yvar = m.run(lambda mm: mm.predict_y(grid))
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(ymean)[:, 0] - np.sin(grid[:, 0])) ** 2
+        )))
+        assert rmse < 0.05, rmse
+        gmean, _ = m.run(lambda mm: mm.predict_g(grid))
+        sd_pred = np.exp(np.asarray(gmean)[:, 0] / 2.0)
+        quiet = sd_pred[grid[:, 0] < 1.5].mean()
+        loud = sd_pred[grid[:, 0] > 4.5].mean()
+        # generator: sd 0.05 rising to ~0.45
+        assert loud / quiet > 3.0, (quiet, loud)
+        assert quiet < 0.12, quiet
+        assert 0.3 < loud < 0.7, loud
+
+    def test_predictive_variance_decomposition(self, fitted_sparse):
+        m = fitted_sparse
+        grid = np.linspace(0.2, 5.8, 40, dtype=np.float32)[:, None]
+        _, yvar = m.run(lambda mm: mm.predict_y(grid))
+        yvar = np.asarray(yvar)[:, 0]
+        assert (yvar > 0).all()
+        assert yvar[grid[:, 0] > 4.5].mean() > 3.0 * yvar[grid[:, 0] < 1.5].mean()
+
+    def test_mc_objective_trains_too(self):
+        hb.set_seed(1)
+        X, Y, _ = make_hetero_dataset(n=5000, seed=1)
+        m = HeteroSVGP(seed=1, X=X, Y=Y, num_inducing=16)
+        opt = m.ELBO_mc().compile(optax.adam(0.01))
+        before = float(opt.run())
+        opt.optimize(maxiter=1500, minibatch_size=256)
+        after = float(opt.run())
+        assert np.isfinite(after) and after > before

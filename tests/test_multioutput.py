@@ -15,6 +15,7 @@ import pytest
 import henbun_tpu as hb
 from henbun_tpu.models.multioutput import (
     MultiOutputGPR,
+    MultiOutputSVGP,
     make_multioutput_dataset,
 )
 
@@ -126,3 +127,61 @@ def test_natgrad_trains_layered_node():
     ng, ad = float(opt_ng.run()), float(opt_ad.run())
     assert np.isfinite(ng) and np.isfinite(ad)
     assert ng > ad + 20.0, (ng, ad)
+
+
+class TestMultiOutputSVGP:
+    """Sparse LMC (VERDICT r3 #4): minibatch SVI at n=1e5, one shared gram,
+    latents on the layered axis. The correlation gate uses the
+    FUNCTION-SPACE output_correlation — at finite m the amplitude split
+    between A and q(u) drifts, so prior-level A A^T is not the right
+    summary (see the method docstring for the measured numbers)."""
+
+    @pytest.fixture(scope="class")
+    def fitted_sparse(self):
+        hb.set_seed(0)
+        X, Y, F = make_multioutput_dataset(n=100_000, seed=0)
+        m = MultiOutputSVGP(seed=0, X=X, Y=Y, Q=2, num_inducing=32)
+        m.ELBO_analytic().compile(optax.adam(0.02)).optimize(
+            maxiter=4000, minibatch_size=512
+        )
+        return m
+
+    def test_recovers_all_outputs_at_1e5(self, fitted_sparse):
+        m = fitted_sparse
+        grid = np.linspace(0.1, 5.9, 60, dtype=np.float32)[:, None]
+        mean, var = m.run(lambda mm: mm.predict_f(grid))
+        U = np.concatenate([np.sin(grid), np.cos(grid)], axis=1)
+        W = np.array([[1.0, 0.0], [0.8, 0.6], [-0.9, 0.4]], np.float32)
+        Ftrue = U @ W.T
+        for p in range(3):
+            rmse = float(np.sqrt(np.mean(
+                (np.asarray(mean)[:, p] - Ftrue[:, p]) ** 2
+            )))
+            assert rmse < 0.05, (p, rmse)
+        assert (np.asarray(var) > 0).all()
+        # per-output noise recovered (true vars 0.01, 0.04, 0.01)
+        nv = np.asarray(m.var.value)
+        assert np.allclose(nv, [0.01, 0.04, 0.01], rtol=0.5)
+
+    def test_function_space_output_correlation(self, fitted_sparse):
+        m = fitted_sparse
+        grid = np.linspace(0.1, 5.9, 400, dtype=np.float32)[:, None]
+        C = np.asarray(m.run(lambda mm: mm.output_correlation(grid)))
+        U = np.concatenate([np.sin(grid), np.cos(grid)], axis=1)
+        W = np.array([[1.0, 0.0], [0.8, 0.6], [-0.9, 0.4]], np.float32)
+        Ft = U @ W.T
+        M = Ft - Ft.mean(0)
+        Ct = (M.T @ M) / len(M)
+        d = np.sqrt(np.diag(Ct))
+        Ct = Ct / np.outer(d, d)
+        assert np.abs(C - Ct).max() < 0.05, C
+
+    def test_mc_objective_trains_too(self):
+        hb.set_seed(2)
+        X, Y, _ = make_multioutput_dataset(n=5000, seed=2)
+        m = MultiOutputSVGP(seed=2, X=X, Y=Y, Q=2, num_inducing=16)
+        opt = m.ELBO_mc().compile(optax.adam(0.01))
+        before = float(opt.run())
+        opt.optimize(maxiter=1500, minibatch_size=256)
+        after = float(opt.run())
+        assert np.isfinite(after) and after > before

@@ -479,3 +479,29 @@ def test_sharded_sparse_laplace_evidence():
     opt.optimize(maxiter=100)
     e1 = float(opt.run())
     assert np.isfinite(e1) and e1 > e0
+
+
+def test_sharded_hetero_and_lmc_svgp():
+    """The round-4 sparse families compose with the sharded data-parallel
+    driver: HeteroSVGP's closed-form E[e^{-g}] ELBO and the sparse LMC's
+    analytic ELBO both train over the 8-device mesh with finite, improving
+    objectives."""
+    hb.set_seed(0)
+    X, Y, _ = models.make_hetero_dataset(n=4096, seed=0)
+    m = models.HeteroSVGP(seed=0, X=X, Y=Y, num_inducing=16)
+    mesh = make_mesh(n_data=8, n_chain=1)
+    opt = ShardedOptimizer(m, "ELBO_analytic", mesh=mesh)
+    opt.compile(optax.adam(0.02))
+    opt.optimize(maxiter=600, minibatch_size=256)
+    objs = np.concatenate(opt.history)
+    assert np.isfinite(objs).all()
+    assert np.mean(objs[-100:]) > np.mean(objs[:100])
+
+    X2, Y2, _ = models.make_multioutput_dataset(n=4096, seed=0)
+    m2 = models.MultiOutputSVGP(seed=0, X=X2, Y=Y2, Q=2, num_inducing=16)
+    opt2 = ShardedOptimizer(m2, "ELBO_analytic", mesh=mesh)
+    opt2.compile(optax.adam(0.02))
+    opt2.optimize(maxiter=600, minibatch_size=256)
+    objs2 = np.concatenate(opt2.history)
+    assert np.isfinite(objs2).all()
+    assert np.mean(objs2[-100:]) > np.mean(objs2[:100])
