@@ -58,6 +58,20 @@ def main(argv=None):
     acc = np.mean(probs.argmax(-1) == (np.floor(grid[:, 0]) % 3).astype(int))
     print("3-class softmax:   grid accuracy %.3f" % acc)
 
+    # the DETERMINISTIC multiclass bound (closed-form log-sum-exp Jensen
+    # bound, SVGPMulticlass.ELBO_bound) on the same data — zero gradient
+    # variance where the MC path pays single-sample softmax noise
+    mb = models.SVGPMulticlass(seed=0, X=X, Y=labels, num_classes=3,
+                               num_inducing=48)
+    mb.ELBO_bound().compile(optax.adam(0.02)).optimize(
+        maxiter=args.iters, minibatch_size=args.minibatch
+    )
+    probs_b = np.asarray(mb.run(lambda mm: mm.predict_p_mean(grid)))
+    acc_b = np.mean(
+        probs_b.argmax(-1) == (np.floor(grid[:, 0]) % 3).astype(int)
+    )
+    print("3-class bound:     grid accuracy %.3f (deterministic)" % acc_b)
+
     # ---------------- Student-t robustness --------------------------------
     Yr = (np.sin(X) + rng.normal(size=X.shape) * 0.2).astype(np.float32)
     Yr[::25] += 5.0

@@ -408,6 +408,27 @@ class SVGPMulticlass(hb.model.Model):
             self.gp, self.__dict__["u"], x, self.k_var
         )
 
+    @hb.AutoOptimize()
+    def ELBO_bound(self):
+        """DETERMINISTIC multiclass training bound (closed form, no
+        sampling): Jensen on the partition function gives
+
+            E_q[log softmax(F)_y] >= m_y - log sum_c exp(m_c + v_c / 2)
+
+        (E[e^{f_c}] is the lognormal mean — exact), so this is a valid,
+        slightly looser ELBO that trains with zero gradient variance where
+        the MC `ELBO` pays single-sample noise on the coupled softmax.
+        The looseness is the Jensen gap of log E[sum e^f] vs E[log sum e^f]
+        — small once the per-class variances v_c are O(1) or the classes
+        separate. Pair with Adam (deterministic but not conjugate); the
+        multiclass-Laplace oracle test gates the probabilities it learns."""
+        mean, var = self._logit_marginals(self.x)  # [K, B]
+        y = self.y[:, 0]  # [B] int class indices
+        m_y = jnp.take_along_axis(mean, y[None, :], axis=0)[0]  # [B]
+        lse = jax.scipy.special.logsumexp(mean + var / 2.0, axis=0)  # [B]
+        ell = jnp.sum(m_y - lse)
+        return (self.n_data / mean.shape[1]) * ell - self.KL()
+
     def predict_p_mean(self, x_new, num=512):
         """DETERMINISTIC posterior predictive class probabilities [n*, K]:
         E[softmax(F)] over the per-class Gaussian logit marginals, estimated
