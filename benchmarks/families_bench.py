@@ -106,6 +106,11 @@ def main():
         "SparseGPC n=1e5 m=128, full-batch Laplace evidence",
         rate(m.log_marginal_laplace().compile(optax.adam(0.05)), sp_steps),
     ))
+    m = models.SparseGPC(seed=0, X=Xp, Y=Yb, num_inducing=128)
+    rows.append((
+        "SparseGPC n=1e5 m=128, full-batch EP evidence",
+        rate(m.log_marginal_ep().compile(optax.adam(0.05)), sp_steps),
+    ))
 
     for name, r in rows:
         print("%-52s %10.0f steps/s" % (name, r))

@@ -99,6 +99,17 @@ def main(argv=None):
     report("SparseGPC Laplace",
            np.asarray(m_sl.run(lambda mm: mm.predict_p(grid))))
 
+    # --- inducing-point EP: the moment-matched accuracy reference at n -----
+    m_se = models.SparseGPC(seed=0, X=Xl, Y=Yl, num_inducing=64)
+    opt = m_se.log_marginal_ep()
+    opt.compile(optax.adam(0.05))
+    opt.optimize(maxiter=args.iters)
+    print("Sparse EP evidence/n: %.4f  (ep_delta %.2e)"
+          % (float(opt.run()) / args.n_svgp,
+             opt.metrics.rows[-1]["ep_delta"]))
+    report("SparseGPC EP",
+           np.asarray(m_se.run(lambda mm: mm.predict_p_ep(grid))))
+
 
 if __name__ == "__main__":
     main()

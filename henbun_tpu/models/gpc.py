@@ -239,3 +239,46 @@ class SparseGPC(hb.model.Model):
             lambda f: jax.nn.sigmoid(f), mean[:, 0], var[:, 0], deg=deg
         )
         return p[:, None]
+
+    # --- expectation propagation (inference/ep.py, projected) --------------
+    @hb.AutoOptimize()
+    def log_marginal_ep(self):
+        """Sparse (projected) EP evidence — the moment-matching counterpart
+        of `log_marginal_laplace`, at the same O(n m^2) per sweep. Trains
+        under the same ep_delta convergence guard as the dense engine."""
+        from henbun_tpu.inference.ep import ep_gp_projected
+
+        return ep_gp_projected(self._loglik(), self._A(self.x)).log_marginal
+
+    def ep(self, sweeps=30, damping=0.5):
+        """Full :class:`~henbun_tpu.inference.ep.EPResult` at the current
+        hyperparameters (``m.run(SparseGPC.ep)``)."""
+        from henbun_tpu.inference.ep import ep_gp_projected
+
+        return ep_gp_projected(
+            self._loglik(), self._A(self.x), sweeps=sweeps, damping=damping
+        )
+
+    def predict_p_ep(self, x_new, deg=20):
+        """Deterministic posterior predictive p(y=1 | x_new) [n*, 1] under
+        the projected EP posterior — the accuracy reference at SVGP scale
+        (moment matching beats mode curvature for classification)."""
+        from henbun_tpu.inference.ep import ep_gp_projected, ep_projected_marginals
+        from henbun_tpu.ops.quadrature import gauss_hermite_expectation
+
+        A = self._A(self.x)
+        res = ep_gp_projected(self._loglik(), A)
+        x_new = jnp.asarray(x_new)
+        LsT = self.gp._effective_LT(x_new)
+        Astar = jnp.swapaxes(LsT, -1, -2) * jnp.sqrt(self.k_var)
+        corr = (
+            jnp.maximum(
+                self.gp._additional_cov(x_new, LsT, "diagonal"), 0.0
+            )
+            * self.k_var[0]
+        )
+        mean, var = ep_projected_marginals(res, A, Astar, corr)
+        p = gauss_hermite_expectation(
+            lambda f: jax.nn.sigmoid(f), mean[:, 0], var[:, 0], deg=deg
+        )
+        return p[:, None]

@@ -299,3 +299,59 @@ class TestDeltaGuard:
         rows = opt.metrics.rows
         assert rows and "ep_delta" in rows[-1]
         assert rows[-1]["ep_delta"] < 1e-2
+
+
+class TestProjectedEP:
+    """Sparse (inducing-point) EP: the moment-matching engine at SVGP scale
+    (round 4). Exactness anchor: with z = X the projected prior A A^T IS
+    the exact gram, and Sylvester's identity makes the m-dim evidence
+    formula equal the dense one — so ep_gp_projected must reproduce ep_gp
+    to float precision."""
+
+    def test_z_eq_x_matches_dense_ep(self):
+        from henbun_tpu.inference.ep import ep_gp, ep_gp_projected
+
+        X, Y = _cls_data(n=50, seed=0)
+        hb.set_seed(0)
+        dense = models.GPC(seed=0, X=X, Y=Y)
+        dense.initialize()
+        sp = models.SparseGPC(seed=0, X=X, Y=Y, num_inducing=len(X))
+        sp.gp.z = X.copy()
+        sp.k_var = np.asarray(dense.k_var.value)
+        sp.gp.kern.lengthscales = np.asarray(dense.kern.lengthscales.value)
+        sp.initialize()
+        e_d = float(dense.run(
+            lambda m: ep_gp(m._loglik(), m._K()).log_marginal
+        ))
+        e_s = float(sp.run(
+            lambda m: ep_gp_projected(m._loglik(), m._A(m.x)).log_marginal
+        ))
+        assert abs(e_d - e_s) < 1e-3 * abs(e_d), (e_d, e_s)
+        grid = np.linspace(0, 6, 25, dtype=np.float32)[:, None]
+        p_d = np.asarray(dense.run(lambda m: m.predict_p_ep(grid)))
+        p_s = np.asarray(sp.run(lambda m: m.predict_p_ep(grid)))
+        assert np.abs(p_d - p_s).max() < 1e-3
+
+    def test_sparse_ep_trains_and_agrees_with_sparse_laplace(self):
+        rng = np.random.default_rng(2)
+        n = 10000
+        X = np.sort(rng.uniform(0, 6, (n, 1))).astype(np.float32)
+        p_true = 1.0 / (1.0 + np.exp(-3.0 * np.sin(X)))
+        Y = (rng.uniform(size=X.shape) < p_true).astype(np.float32)
+        grid = np.linspace(0.1, 5.9, 40, dtype=np.float32)[:, None]
+        truth = 1.0 / (1.0 + np.exp(-3.0 * np.sin(grid[:, 0])))
+
+        hb.set_seed(0)
+        m = models.SparseGPC(seed=0, X=X, Y=Y, num_inducing=32)
+        opt = m.log_marginal_ep().compile(optax.adam(0.05))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=60)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+        # the training guard saw a converged fixed point throughout
+        assert opt.metrics.rows[-1]["ep_delta"] < 1e-2
+        p_ep = np.asarray(m.run(lambda mm: mm.predict_p_ep(grid)))[:, 0]
+        assert np.abs(p_ep - truth).mean() < 0.04, np.abs(p_ep - truth).mean()
+        # the two sparse deterministic engines tell the same story
+        p_lp = np.asarray(m.run(lambda mm: mm.predict_p(grid)))[:, 0]
+        assert np.abs(p_ep - p_lp).mean() < 0.05
