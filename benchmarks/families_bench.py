@@ -112,6 +112,16 @@ def main():
         rate(m.log_marginal_ep().compile(optax.adam(0.05)), sp_steps),
     ))
 
+    Yr = np.sin(Xp) + rng.normal(size=Xp.shape).astype(np.float32) * 0.2
+    out = rng.choice(len(Xp), len(Xp) // 25, replace=False)
+    Yr[out] += rng.choice([-4.0, 4.0], len(out))[:, None]
+    m = models.SparseGPRobust(seed=0, X=Xp, Y=Yr.astype(np.float32),
+                              num_inducing=128)
+    rows.append((
+        "SparseGPRobust n=1e5 m=128, full-batch Laplace evidence",
+        rate(m.log_marginal_laplace().compile(optax.adam(0.05)), sp_steps),
+    ))
+
     for name, r in rows:
         print("%-52s %10.0f steps/s" % (name, r))
 

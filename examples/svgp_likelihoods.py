@@ -83,6 +83,19 @@ def main(argv=None):
     rmse = np.sqrt(np.mean((np.asarray(mean)[:, 0] - np.sin(grid[:, 0])) ** 2))
     print("Student-t robust:  RMSE vs sin(x) %.3f (4%% gross outliers)" % rmse)
 
+    # the DETERMINISTIC robust path: sparse Laplace evidence, no
+    # variational parameters at all (models.SparseGPRobust, round 4)
+    mrl = models.SparseGPRobust(seed=0, X=X, Y=Yr, num_inducing=32)
+    mrl.log_marginal_laplace().compile(optax.adam(0.05)).optimize(
+        maxiter=max(args.iters // 40, 60)  # full-batch: fewer, fatter steps
+    )
+    mean_l, _ = mrl.run(lambda mm: mm.predict_f(grid))
+    rmse_l = np.sqrt(
+        np.mean((np.asarray(mean_l)[:, 0] - np.sin(grid[:, 0])) ** 2)
+    )
+    print("Student-t Laplace: RMSE vs sin(x) %.3f (deterministic evidence)"
+          % rmse_l)
+
 
 if __name__ == "__main__":
     main()

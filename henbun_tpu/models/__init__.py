@@ -2,7 +2,7 @@
 (BASELINE.md): GPR (Gaussian + Student-t), mixture-of-experts GPR,
 variational/MAP linear models, amortized (encoder-fed) SVI regression, and
 Bayesian neural nets for the sampling workloads."""
-from .gpr import GPR, GPRMarginal, make_sine_dataset
+from .gpr import GPR, GPRMarginal, SparseGPRobust, make_sine_dataset
 from .expert_gpr import ExpertGPR, make_expert_dataset
 from .linear import VariationalLinearModel, MAPLinearModel, make_linear_dataset
 from .amortized import AmortizedRegression, make_synthetic_regression

@@ -275,3 +275,120 @@ def make_sine_dataset(n=40, noise=0.3, seed=0):
     X = np.linspace(0, 6, n).reshape(-1, 1).astype(np.float32)
     Y = (np.sin(X) + rng.normal(size=(n, 1)) * noise).astype(np.float32)
     return X, Y
+
+
+class SparseGPRobust(hb.model.Model):
+    """Deterministic ROBUST regression at inducing-point scale:
+    y ~ Student-t(df)(f, var) with f a sparse GP — evidence-trained like
+    `GPR.log_marginal_laplace_student` / `log_marginal_ep_student` but with
+    every factorization m x m, so the heavy-tailed deterministic engines
+    reach n >= 1e5 (the likelihood-agnostic rectangular `laplace_whitened`
+    and `ep_gp_projected`; same DTC projection as `models.SparseGPC`).
+
+    Student-t is NOT log-concave: the Laplace path relies on the
+    saddle-free |W| Newton ladder, the EP path on clipped sites and
+    conservative damping (0.3) — both behaviors inherited from the dense
+    engines where they are measured and tested. Train FULL-BATCH (see
+    SparseGPC's note on minibatch evidence).
+    """
+
+    def setUp(self, X, Y, num_inducing=64, kern=None, newton_iters=15,
+              df=3.0):
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(Y)
+        self.n_data = X.shape[0]
+        self._newton_iters = int(newton_iters)
+        self._df = float(df)
+        z = np.quantile(
+            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
+        ).astype(np.float32)
+        self.gp = hb.gp.SparseGP(
+            kern if kern is not None else hb.gp.kernels.UnitRBF(), z
+        )
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+        self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def _loglik(self):
+        y, var, df = self.y, self.var, self._df
+        return lambda f: densities.student_t(y, f, var, df)
+
+    def _A(self, x):
+        LnT = self.gp._effective_LT(x)  # [m, B]
+        return jnp.swapaxes(LnT, -1, -2) * jnp.sqrt(self.k_var)
+
+    @hb.AutoOptimize()
+    def log_marginal_laplace(self):
+        """Sparse Laplace evidence (saddle-free Newton; IFT gradients)."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        return laplace_whitened(
+            self._loglik(), self._A(self.x),
+            newton_iters=self._newton_iters,
+        ).log_marginal
+
+    @hb.AutoOptimize()
+    def log_marginal_ep(self):
+        """Projected EP evidence through the UNROLLED sweeps
+        (implicit_diff=False — measured at n=2e4 with 4% gross outliers:
+        as the noise variance sharpens, the outlier sites collectively
+        thrash between explaining and rejecting their point and the mean
+        site residual grows to ~0.2 regardless of damping/sweeps
+        (0.05-0.3 / 60-480 swept), so the stationarity premise of the
+        fixed-point gradient is structurally violated and the guard
+        rightly aborts it. Reverse-mode through the damped sweeps needs
+        no premise; the fit matches the Laplace engine (RMSE ~0.005 on
+        the outlier bed). Clipped sites + damping 0.3 as in the dense
+        Student-t engine."""
+        from henbun_tpu.inference.ep import ep_gp_projected
+
+        return ep_gp_projected(
+            self._loglik(), self._A(self.x), sweeps=60, damping=0.3,
+            implicit_diff=False,
+        ).log_marginal
+
+    def predict_f(self, x_new):
+        """Laplace posterior marginals (mean [n*, 1], var [n*, 1]) of the
+        latent at new inputs, residual (FITC) variance restored."""
+        from henbun_tpu.inference.laplace import (
+            laplace_projected_marginals,
+            laplace_whitened,
+        )
+
+        loglik = self._loglik()
+        A = self._A(self.x)
+        res = laplace_whitened(
+            loglik, A, newton_iters=self._newton_iters
+        )
+        x_new = jnp.asarray(x_new)
+        LsT = self.gp._effective_LT(x_new)
+        Astar = jnp.swapaxes(LsT, -1, -2) * jnp.sqrt(self.k_var)
+        corr = (
+            jnp.maximum(
+                self.gp._additional_cov(x_new, LsT, "diagonal"), 0.0
+            )
+            * self.k_var[0]
+        )
+        return laplace_projected_marginals(loglik, A, res, Astar, corr)
+
+    def predict_f_ep(self, x_new):
+        """EP posterior marginals at new inputs — the moment-matched
+        counterpart of `predict_f`."""
+        from henbun_tpu.inference.ep import (
+            ep_gp_projected,
+            ep_projected_marginals,
+        )
+
+        A = self._A(self.x)
+        res = ep_gp_projected(
+            self._loglik(), A, sweeps=60, damping=0.3
+        )
+        x_new = jnp.asarray(x_new)
+        LsT = self.gp._effective_LT(x_new)
+        Astar = jnp.swapaxes(LsT, -1, -2) * jnp.sqrt(self.k_var)
+        corr = (
+            jnp.maximum(
+                self.gp._additional_cov(x_new, LsT, "diagonal"), 0.0
+            )
+            * self.k_var[0]
+        )
+        return ep_projected_marginals(res, A, Astar, corr)

@@ -258,3 +258,65 @@ class TestStudentT:
         far = np.asarray([[9.0]], np.float32)
         _, var_far = m.run(lambda mm: mm.predict_f_laplace(far))
         assert float(var_far[0, 0]) > float(var.min())
+
+
+class TestSparseGPRobust:
+    """Deterministic robust regression at inducing-point scale (round 4):
+    the likelihood-agnostic sparse engines on the non-log-concave
+    Student-t. Gates: both evidences train, both engines interpolate the
+    clean sine through 4% gross outliers, and they agree with each other."""
+
+    @pytest.fixture(scope="class")
+    def outlier_bed(self):
+        rng = np.random.default_rng(3)
+        n = 20000
+        X = np.sort(rng.uniform(0, 6, (n, 1))).astype(np.float32)
+        Y = np.sin(X) + rng.normal(size=X.shape).astype(np.float32) * 0.2
+        idx = rng.choice(n, n // 25, replace=False)
+        Y[idx] += rng.choice([-4.0, 4.0], len(idx))[:, None]
+        return X, Y.astype(np.float32)
+
+    def test_laplace_evidence_trains_through_outliers(self, outlier_bed):
+        X, Y = outlier_bed
+        hb.set_seed(0)
+        m = models.SparseGPRobust(seed=0, X=X, Y=Y, num_inducing=32)
+        opt = m.log_marginal_laplace().compile(optax.adam(0.05))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=120)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+        grid = np.linspace(0.1, 5.9, 40, dtype=np.float32)[:, None]
+        mean, var = m.run(lambda mm: mm.predict_f(grid))
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(mean)[:, 0] - np.sin(grid[:, 0])) ** 2
+        )))
+        assert rmse < 0.05, rmse
+        assert (np.asarray(var) > 0).all()
+        # EP prediction at the Laplace-trained hypers agrees (moment
+        # matching vs mode curvature on the same model)
+        mean_ep, var_ep = m.run(lambda mm: mm.predict_f_ep(grid))
+        assert np.abs(np.asarray(mean_ep) - np.asarray(mean)).mean() < 0.05
+        assert (np.asarray(var_ep) > 0).all()
+
+    def test_ep_evidence_trains_unrolled(self, outlier_bed):
+        """The EP training path differentiates the UNROLLED sweeps: on
+        heavy tails the outlier sites thrash collectively as the noise
+        sharpens (mean residual ~0.2 at any damping — measured), so the
+        stationarity premise is structurally violated; unrolled gradients
+        need no premise. Smaller n keeps the reverse sweep affordable on
+        the CPU mesh."""
+        X, Y = outlier_bed
+        X, Y = X[::4], Y[::4]  # n = 5000
+        hb.set_seed(0)
+        m = models.SparseGPRobust(seed=0, X=X, Y=Y, num_inducing=32)
+        opt = m.log_marginal_ep().compile(optax.adam(0.05))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=60)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+        grid = np.linspace(0.1, 5.9, 40, dtype=np.float32)[:, None]
+        mean, _ = m.run(lambda mm: mm.predict_f_ep(grid))
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(mean)[:, 0] - np.sin(grid[:, 0])) ** 2
+        )))
+        assert rmse < 0.12, rmse
