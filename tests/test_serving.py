@@ -166,3 +166,30 @@ def test_export_svgp_marginal_predictor():
     g2 = np.linspace(1, 5, 7).reshape(-1, 1).astype(np.float32)
     mean2, _ = art(jnp.asarray(g2))
     assert mean2.shape == (7, 1)
+
+
+def test_export_sparse_laplace_classifier():
+    """The deterministic sparse engines compose with serving: the whole
+    Newton-mode pipeline (lax.scan ladder + m x m algebra) lowers into one
+    self-contained artifact serving p(y=1 | x*) at any batch size."""
+    from henbun_tpu.models import SparseGPC
+
+    hb.set_seed(3)
+    rng = np.random.default_rng(3)
+    X = np.sort(rng.uniform(0, 6, (2000, 1))).astype(np.float32)
+    p_true = 1.0 / (1.0 + np.exp(-3.0 * np.sin(X)))
+    Y = (rng.uniform(size=X.shape) < p_true).astype(np.float32)
+    m = SparseGPC(seed=3, X=X, Y=Y, num_inducing=32)
+    m.log_marginal_laplace().compile(optax.adam(0.05)).optimize(maxiter=80)
+
+    grid = np.linspace(0.2, 5.8, 30).reshape(-1, 1).astype(np.float32)
+    want = np.asarray(m.run(lambda mm: mm.predict_p(grid)))
+    art = serving.export_predictor(
+        m, "predict_p", grid, batch_polymorphic=True
+    )
+    got = np.asarray(art(jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+    # polymorphic: another request size from the same artifact
+    g2 = np.linspace(1, 5, 11).reshape(-1, 1).astype(np.float32)
+    p2 = np.asarray(art(jnp.asarray(g2)))
+    assert p2.shape == (11, 1) and ((p2 > 0) & (p2 < 1)).all()
