@@ -112,6 +112,23 @@ def main():
         rate(m.log_marginal_ep().compile(optax.adam(0.05)), sp_steps),
     ))
 
+    Xm3 = Xp[::3].copy()  # n ~ 3.3e4: inside the multiclass engine's
+    # f32 envelope (see multiclass_laplace_projected's docstring)
+    Lm3 = 2.5 * np.concatenate(
+        [np.sin(Xm3 + s) for s in (0.0, 2.1, 4.2)], axis=1
+    )
+    Pm3 = np.exp(Lm3 - Lm3.max(1, keepdims=True))
+    Pm3 /= Pm3.sum(1, keepdims=True)
+    ym3 = (rng.uniform(size=(len(Xm3), 1)) > Pm3.cumsum(1)[:, :2]).sum(
+        1
+    ).astype(np.int32)[:, None]
+    m = models.SparseGPMulticlass(seed=0, X=Xm3, Y=ym3, num_classes=3,
+                                  num_inducing=64)
+    rows.append((
+        "SparseGPMulticlass n=3e4 K=3 m=64, full-batch Laplace evidence",
+        rate(m.log_marginal_laplace().compile(optax.adam(0.05)), sp_steps),
+    ))
+
     Yr = np.sin(Xp) + rng.normal(size=Xp.shape).astype(np.float32) * 0.2
     out = rng.choice(len(Xp), len(Xp) // 25, replace=False)
     Yr[out] += rng.choice([-4.0, 4.0], len(out))[:, None]

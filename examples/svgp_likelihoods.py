@@ -72,6 +72,19 @@ def main(argv=None):
     )
     print("3-class bound:     grid accuracy %.3f (deterministic)" % acc_b)
 
+    # the evidence-trained multiclass path (softmax Laplace, no variational
+    # parameters at all; see the engine docstring for its f32 envelope)
+    ml = models.SparseGPMulticlass(seed=0, X=X, Y=labels, num_classes=3,
+                                   num_inducing=48)
+    ml.log_marginal_laplace().compile(optax.adam(0.05)).optimize(
+        maxiter=max(args.iters // 40, 60)
+    )
+    probs_l = np.asarray(ml.run(lambda mm: mm.predict_p(grid)))
+    acc_l = np.mean(
+        probs_l.argmax(-1) == (np.floor(grid[:, 0]) % 3).astype(int)
+    )
+    print("3-class Laplace:   grid accuracy %.3f (evidence-trained)" % acc_l)
+
     # ---------------- Student-t robustness --------------------------------
     Yr = (np.sin(X) + rng.normal(size=X.shape) * 0.2).astype(np.float32)
     Yr[::25] += 5.0

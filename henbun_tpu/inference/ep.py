@@ -278,8 +278,10 @@ def ep_gp_projected(loglik_fn, A, sweeps=30, damping=0.5, jitter=None,
 
     def posterior(nu, tau):
         """(mu [n], sig2 [n], Lp [m, m]) from the m-dim representation."""
+        from .laplace import _with_floor
+
         P = Im + matmul_hp(AT * tau[None, :], A)
-        Lp = safe_cholesky(P, jitter)
+        Lp = safe_cholesky(_with_floor(P, jitter), jitter)
         V = tri_solve(Lp, AT)  # [m, n]; sig2_i = colnorm^2
         sig2 = jnp.sum(jnp.square(V), axis=0)
         b = matmul_hp(AT, nu[:, None])  # [m, 1]
@@ -381,8 +383,10 @@ def ep_projected_marginals(res, A, Astar, corr_diag, jitter=None):
     m = A.shape[-1]
     Im = jnp.eye(m, dtype=A.dtype)
     AT = jnp.swapaxes(A, -1, -2)
+    from .laplace import _with_floor
+
     P = Im + matmul_hp(AT * res.tau[None, :], A)
-    Lp = safe_cholesky(P, jitter)
+    Lp = safe_cholesky(_with_floor(P, jitter), jitter)
     b = matmul_hp(AT, res.nu[:, None])
     half = tri_solve(Lp, b)  # [m, 1]
     G = tri_solve(Lp, jnp.swapaxes(Astar, -1, -2))  # [m, n*]

@@ -91,6 +91,34 @@ def _curvature(loglik_fn, f):
     return _grad_and_curvature(loglik_fn, f)[1]
 
 
+
+
+def _floor_jitter(B, base=1e-6):
+    """Scale-aware jitter for PD matrices of the form I + (PSD).
+
+    Mathematically the unit floor keeps these PD, but the floor must be
+    REPRESENTABLE next to the matrix's scale: at inducing-point evidence
+    scales the PSD part's entries are O(n k_var w) ~ 1e4-1e5 in f32, and
+    the accumulated rounding of those entries perturbs the smallest
+    eigenvalue by more than 1 (measured on the multiclass engine at
+    n=1e5, m=128: min eig of the f32-built H was -0.025 under
+    lambda_max 5.4e4 — the absolute-jitter escalation ladder from 1e-6
+    never reaches a rescue, and training NaNs at step ~100 through the
+    factor's gradient). Scaling the base by the diagonal magnitude keeps
+    the floor at a fixed RELATIVE height; the eigenvalues it perturbs
+    are the ones already below f32 resolution of the matrix."""
+    d = jnp.diagonal(B, axis1=-2, axis2=-1)
+    return base * (1.0 + jnp.max(d))
+
+
+def _with_floor(B, base=1e-6):
+    """B + stop_gradient(scale-aware floor) * I, ready for safe_cholesky
+    (whose custom_vjp takes jitter as a STATIC argument — the data-dependent
+    part of the floor rides the matrix instead, gradient-stopped so the
+    regularizer adds no spurious hyperparameter gradient)."""
+    f = jax.lax.stop_gradient(_floor_jitter(B, base))
+    return B + f * jnp.eye(B.shape[-1], dtype=B.dtype)
+
 def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
     """The damped saddle-free Newton scan; returns v_star [n, 1]."""
     n = Lk.shape[-1]
@@ -104,7 +132,7 @@ def _newton_iterations(loglik_fn, Lk, newton_iters, jitter):
         # B = I + Lk^T |W| Lk, PD by construction
         WLk = W * Lk  # rows scaled: (W Lk)_ij = W_i Lk_ij
         B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), WLk)
-        Lb = safe_cholesky(B, jitter)
+        Lb = safe_cholesky(_with_floor(B, jitter), jitter)
         half = jax.scipy.linalg.solve_triangular(Lb, grad_psi, lower=True)
         d = jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(Lb, -1, -2), half, lower=False
@@ -179,7 +207,7 @@ def _newton_mode_bwd(loglik_conv, newton_iters, jitter, res, vbar):
     n = Lk.shape[-1]
     I = jnp.eye(n, dtype=Lk.dtype)
     B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), W * Lk)
-    Lb = safe_cholesky(B, jitter)
+    Lb = safe_cholesky(_with_floor(B, jitter), jitter)
     w = _tri_solve_T_dispatch(Lb, tri_solve(Lb, vbar))  # B^-1 vbar
 
     def F(Lk_, consts_):
@@ -245,7 +273,7 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
     grad_psi = matmul_hp(jnp.swapaxes(Lk, -1, -2), g) - v_star
     WLk = W * Lk
     B = I + matmul_hp(jnp.swapaxes(Lk, -1, -2), WLk)
-    Lb = safe_cholesky(B, jitter)
+    Lb = safe_cholesky(_with_floor(B, jitter), jitter)
     # log|B| from the factor's diagonal
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lb, axis1=-2, axis2=-1)))
     log_marginal = psi - 0.5 * logdet
@@ -288,7 +316,7 @@ def laplace_projected_marginals(loglik_fn, A, res, Astar, corr_diag,
     mean = matmul_hp(Astar, res.v_mode)  # [n*, 1]
     W = _curvature(loglik_fn, res.f_mode)
     B = I + matmul_hp(jnp.swapaxes(A, -1, -2), W * A)
-    Lb = safe_cholesky(B, jitter)
+    Lb = safe_cholesky(_with_floor(B, jitter), jitter)
     G = tri_solve(Lb, jnp.swapaxes(Astar, -1, -2))  # [m, n*]
     var = (jnp.sum(jnp.square(G), axis=0) + corr_diag)[:, None]
     return mean, var
@@ -334,3 +362,193 @@ def laplace_latent_marginals(loglik_fn, Lk, res, Ks, kdiag, jitter=1e-6):
         0.0,
     )[:, None]
     return mean, var
+
+
+# --------------------------------------------------------- multiclass (softmax)
+class MulticlassLaplaceResult(NamedTuple):
+    """Mode and curvature for the K-class softmax likelihood over a
+    projected latent F = A U (U [m, K] whitened per class).
+
+    u_mode: [m, K]; f_mode: the training logits [n, K]; log_marginal: the
+    Laplace evidence; grad_norm: |grad psi| at the mode (~0 when
+    converged)."""
+
+    u_mode: jax.Array
+    f_mode: jax.Array
+    log_marginal: jax.Array
+    grad_norm: jax.Array
+
+
+def _softmax_psi(A, Y1, u):
+    """(psi, F, G, Pi): log-posterior value, logits, dloglik/dF, softmax."""
+    F = matmul_hp(A, u)  # [n, K]
+    Pi = jax.nn.softmax(F, axis=-1)
+    G = Y1 - Pi
+    ll = jnp.sum(Y1 * (F - jax.scipy.special.logsumexp(F, axis=-1)[:, None]))
+    return ll - 0.5 * jnp.sum(u * u), F, G, Pi
+
+
+def _softmax_H(A, Pi, jitter):
+    """The full [K m, K m] Newton matrix H = I + blocks(A^T W_cc' A) with
+    the softmax coupling W_i = diag(pi_i) - pi_i pi_i^T (GPML ch. 3.5's
+    block structure, built dense — Km is small: K classes x m <= 128
+    inducing). Flat index order: (c, i) -> c*m + i."""
+    n, m = A.shape
+    K = Pi.shape[-1]
+    eyeK = jnp.eye(K, dtype=A.dtype)
+    W3 = Pi[:, :, None] * (eyeK[None] - Pi[:, None, :])  # [n, K, K]
+    H = jnp.einsum("ni,nkl,nj->kilj", A, W3, A).reshape(K * m, K * m)
+    del jitter  # PD regularization happens in safe_cholesky at the callers
+    return H + jnp.eye(K * m, dtype=A.dtype)
+
+
+def _softmax_newton(A, Y1, iters):
+    """Damped Newton scan for the softmax mode; softmax is log-concave so
+    H is PD — same 4-alpha best-psi select ladder as the factorizing
+    engine (straight-line, vmappable)."""
+    from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
+
+    n, m = A.shape
+    K = Y1.shape[-1]
+
+    def step(u, _):
+        psi0, F, G, Pi = _softmax_psi(A, Y1, u)
+        grad = matmul_hp(jnp.swapaxes(A, -1, -2), G) - u  # [m, K]
+        H = _softmax_H(A, Pi, 0.0)
+        Lh = safe_cholesky(_with_floor(H), 1e-6)
+        gflat = jnp.swapaxes(grad, -1, -2).reshape(K * m, 1)
+        d = _tri_solve_T_dispatch(Lh, tri_solve(Lh, gflat))
+        d = jnp.swapaxes(d.reshape(K, m), -1, -2)  # [m, K]
+        tie_tol = 1e-5 * (1.0 + jnp.abs(psi0))
+        alphas = jnp.asarray((1.0, 0.3, 0.1, 0.03), A.dtype)
+        U_try = u[None] + alphas[:, None, None] * d[None]  # [4, m, K]
+        psis = jax.vmap(lambda uu: _softmax_psi(A, Y1, uu)[0])(U_try)
+        best_u, best_psi = u, psi0
+        for i in range(4):
+            take = (
+                psis[i] >= best_psi - tie_tol if i == 0 else psis[i] > best_psi
+            )
+            best_u = jnp.where(take, U_try[i], best_u)
+            best_psi = jnp.where(take, psis[i], best_psi)
+        return best_u, None
+
+    u0 = jnp.zeros((m, K), A.dtype)
+    u_star, _ = jax.lax.scan(step, u0, None, length=int(iters))
+    return u_star
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _softmax_mode_implicit(iters, A, Y1):
+    return _softmax_newton(A, Y1, iters)
+
+
+def _softmax_mode_fwd(iters, A, Y1):
+    u = _softmax_mode_implicit(iters, A, Y1)
+    return u, (A, Y1, u)
+
+
+def _softmax_mode_bwd(iters, res, ubar):
+    """IFT at the mode: F(u; A) = A^T (Y1 - softmax(A u)) - u = 0,
+    dF/du = -H (the blocked softmax curvature), so ubar^T du*/dA = w^T dF/dA
+    with H w = ubar."""
+    from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
+
+    A, Y1, u = res
+    n, m = A.shape
+    K = Y1.shape[-1]
+    _, F, G, Pi = _softmax_psi(A, Y1, u)
+    H = _softmax_H(A, Pi, 0.0)
+    Lh = safe_cholesky(_with_floor(H), 1e-6)
+    ubarflat = jnp.swapaxes(ubar, -1, -2).reshape(K * m, 1)
+    w = _tri_solve_T_dispatch(Lh, tri_solve(Lh, ubarflat))
+    w = jnp.swapaxes(w.reshape(K, m), -1, -2)  # [m, K]
+
+    def Ffn(A_):
+        F_ = matmul_hp(A_, u)
+        G_ = Y1 - jax.nn.softmax(F_, axis=-1)
+        return matmul_hp(jnp.swapaxes(A_, -1, -2), G_) - u
+
+    _, vjpF = jax.vjp(Ffn, A)
+    (A_bar,) = vjpF(w)
+    return A_bar, None  # Y1 is integer data
+
+
+_softmax_mode_implicit.defvjp(_softmax_mode_fwd, _softmax_mode_bwd)
+
+
+def multiclass_laplace_projected(A, y_idx, n_classes, newton_iters=15,
+                                 implicit_diff=True):
+    """Laplace approximation for K-class softmax GP classification on the
+    projected (inducing-point) latent F = A U, U ~ N(0, I_{m x K}).
+
+    A [n, m]: the shared per-class projection (sqrt(k_var) (Lm^-1 Kmn)^T);
+    y_idx [n] int labels. The softmax couples the classes PER POINT, so the
+    curvature is the GPML ch. 3.5 block structure — the factorizing-
+    likelihood engine cannot express it (its Hessian-times-ones diagonal
+    trick returns W pi . 1 = 0 for softmax). Every factorization here is
+    (K m) x (K m), built from K^2 blocks of A^T diag(w) A — deterministic
+    multiclass evidence training at n >= 1e5. Evidence gradients by the
+    IFT at the mode (softmax is log-concave: H is PD, the mode is unique).
+
+    Gated against the numpy float64 oracle at z = X
+    (tests/test_multiclass_oracle.py's engine) — see
+    `models.SparseGPMulticlass`.
+
+    f32 OPERATING ENVELOPE: H's unit eigenvalue floor must stay
+    representable next to its n*k_var-scale entries. Measured on v5e:
+    n=3e4, m=64 trains 500 steps clean (kv up to 7.5); at n=1e5, m=128
+    the f64-reconstructed min eigenvalue of the f32-built H is -0.025
+    under lambda_max 5.4e4 and training NaNs near step 100 even with the
+    scale-aware floor (`_with_floor` rescues marginal cases only — the
+    information in the floored eigenvalues is below f32 resolution
+    regardless). Keep n * k_var below ~2e5 per class, subsample, or wait
+    for an f64-island/reformulated H (round-5 candidate).
+    """
+    n = A.shape[-2]
+    K = int(n_classes)
+    Y1 = jax.nn.one_hot(y_idx, K, dtype=A.dtype)  # [n, K]
+    if implicit_diff:
+        u_star = _softmax_mode_implicit(int(newton_iters), A, Y1)
+    else:
+        u_star = _softmax_newton(A, Y1, int(newton_iters))
+    psi, F, G, Pi = _softmax_psi(A, Y1, u_star)
+    grad = matmul_hp(jnp.swapaxes(A, -1, -2), G) - u_star
+    H = _softmax_H(A, Pi, 0.0)
+    Lh = safe_cholesky(_with_floor(H), 1e-6)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lh)))
+    return MulticlassLaplaceResult(
+        u_mode=u_star,
+        f_mode=F,
+        log_marginal=psi - 0.5 * logdet,
+        grad_norm=jnp.linalg.norm(grad),
+    )
+
+
+def multiclass_laplace_joint_marginals(A, res, Astar, corr_diag,
+                                       jitter=1e-6):
+    """Per-point JOINT class-logit Gaussians at new inputs under the
+    multiclass Laplace posterior: means [n*, K] and covariances
+    [n*, K, K] (cov(F*_c, F*_c') = Astar_j [H^-1]_{cc'} Astar_j^T plus the
+    residual corr_diag on the diagonal). Feed to an E[softmax] estimator
+    for predictive probabilities."""
+    from ..ops.linalg import tri_solve
+
+    n, m = A.shape
+    K = res.u_mode.shape[-1]
+    # the curvature needs only Pi at the mode — from the stored logits
+    Pi = jax.nn.softmax(res.f_mode, axis=-1)
+    H = _softmax_H(A, Pi, 0.0)
+    Lh = safe_cholesky(_with_floor(H, jitter), jitter)
+    means = matmul_hp(Astar, res.u_mode)  # [n*, K]
+    ns = Astar.shape[-2]
+    # G_half = Lh^-1 (I_K kron Astar^T): [Km, K n*] — build blockwise
+    blocks = jnp.zeros((K * m, K, ns), A.dtype)
+    AsT = jnp.swapaxes(Astar, -1, -2)  # [m, n*]
+    for c in range(K):
+        blocks = blocks.at[c * m:(c + 1) * m, c, :].set(AsT)
+    Gh = tri_solve(Lh, blocks.reshape(K * m, K * ns))
+    Gh = Gh.reshape(K * m, K, ns)
+    # cov_{cc'}(x_j) = sum_r Gh[r, c, j] Gh[r, c', j]
+    covs = jnp.einsum("rcj,rdj->jcd", Gh, Gh)
+    covs = covs + corr_diag[:, None, None] * jnp.eye(K, dtype=A.dtype)[None]
+    return means, covs

@@ -13,7 +13,7 @@ from .svgp import (
     SVGPCount,
     SVGPMulticlass,
 )
-from .gpc import GPC, SparseGPC
+from .gpc import GPC, SparseGPC, SparseGPMulticlass
 from .hetero import HeteroscedasticGPR, HeteroSVGP, make_hetero_dataset
 from .multioutput import MultiOutputGPR, MultiOutputSVGP, make_multioutput_dataset
 from .deepgp import DeepGPRegression, make_step_dataset

@@ -160,7 +160,8 @@ class SparseGPC(hb.model.Model):
     unscaled — so don't, unless you know you want that.
     """
 
-    def setUp(self, X, Y, num_inducing=128, kern=None, newton_iters=15):
+    def setUp(self, X, Y, num_inducing=128, kern=None, newton_iters=15,
+              train_z=False):
         import numpy as np
 
         self.x = hb.MinibatchData(X)
@@ -170,8 +171,17 @@ class SparseGPC(hb.model.Model):
         z = np.quantile(
             np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
         ).astype(np.float32)
+        # z is FROZEN by default in the evidence families: evidence training
+        # drives neighboring inducing points into collision (measured on the
+        # multiclass sibling at n=1e5, m=128, Adam 0.05: min spacing 0.047
+        # -> 5.6e-4 by step 115, NaN at 119 — coincident z is a rank-
+        # deficient Kmm whose f32 Cholesky GRADIENT blows past any jitter
+        # rescue, the cliff CLAUDE.md documents). A collision adds no
+        # capacity, so freezing costs nothing at quantile init;
+        # train_z=True re-enables (watch spacing).
         self.gp = hb.gp.SparseGP(
-            kern if kern is not None else hb.gp.kernels.UnitRBF(), z
+            kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
+            collections=None if train_z else ["inducing_z"],
         )
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
 
@@ -186,8 +196,8 @@ class SparseGPC(hb.model.Model):
 
     @hb.AutoOptimize()
     def log_marginal_laplace(self):
-        """Sparse Laplace evidence — deterministic; trains kernel
-        hyperparameters AND inducing locations z by gradient."""
+        """Sparse Laplace evidence — deterministic; trains the kernel
+        hyperparameters (and z too under ``train_z=True``)."""
         from henbun_tpu.inference.laplace import laplace_whitened
 
         return laplace_whitened(
@@ -282,3 +292,99 @@ class SparseGPC(hb.model.Model):
             lambda f: jax.nn.sigmoid(f), mean[:, 0], var[:, 0], deg=deg
         )
         return p[:, None]
+
+
+class SparseGPMulticlass(hb.model.Model):
+    """Inducing-point multiclass (softmax) Laplace classifier:
+    DETERMINISTIC K-class evidence training at n >= 1e5 — the evidence
+    counterpart of `SVGPMulticlass.ELBO_bound` (variational) and the scaled
+    counterpart of the numpy oracle in tests/test_multiclass_oracle.py
+    (with z = X and float64 it IS that oracle; pinned).
+
+    The softmax couples classes per point (GPML ch. 3.5 block curvature),
+    so this rides the dedicated `multiclass_laplace_projected` engine:
+    (K m) x (K m) factorizations built from K^2 blocks of A^T diag(w) A.
+    Labels Y are integer class indices [n, 1]. Train FULL-BATCH (see
+    SparseGPC's note) and mind the engine's f32 envelope (its docstring:
+    keep n * k_var below ~2e5 per class — measured clean at n=3e4, NaN at
+    n=1e5 where H's unit floor falls below f32 entry resolution; the
+    binary/robust engines' scalar-W systems are materially better
+    conditioned and run n=1e5 fine)."""
+
+    def setUp(self, X, Y, num_classes, num_inducing=64, kern=None,
+              newton_iters=15, train_z=False):
+        import numpy as np
+
+        self._K = int(num_classes)
+        self._newton_iters = int(newton_iters)
+        self.x = hb.MinibatchData(X)
+        self.y = hb.MinibatchData(np.asarray(Y, np.int32))
+        self.n_data = X.shape[0]
+        z = np.quantile(
+            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
+        ).astype(np.float32)
+        # frozen z by default — see SparseGPC.setUp (the collision was
+        # measured on THIS family)
+        self.gp = hb.gp.SparseGP(
+            kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
+            collections=None if train_z else ["inducing_z"],
+        )
+        self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
+
+    def _A(self, x):
+        LnT = self.gp._effective_LT(x)  # [m, B]
+        return jnp.swapaxes(LnT, -1, -2) * jnp.sqrt(self.k_var)
+
+    @hb.AutoOptimize()
+    def log_marginal_laplace(self):
+        """Multiclass Laplace evidence — deterministic; IFT gradients."""
+        from henbun_tpu.inference.laplace import multiclass_laplace_projected
+
+        return multiclass_laplace_projected(
+            self._A(self.x), self.y[:, 0], self._K,
+            newton_iters=self._newton_iters,
+        ).log_marginal
+
+    def laplace(self):
+        """Full MulticlassLaplaceResult at the current hyperparameters."""
+        from henbun_tpu.inference.laplace import multiclass_laplace_projected
+
+        return multiclass_laplace_projected(
+            self._A(self.x), self.y[:, 0], self._K,
+            newton_iters=self._newton_iters,
+        )
+
+    def predict_p(self, x_new, num=512):
+        """Deterministic posterior predictive class probabilities [n*, K]:
+        joint per-point class-logit Gaussians from the blocked curvature,
+        then E[softmax] by `num` fixed-key quasi-MC draws inside one
+        program (the same estimator as SVGPMulticlass.predict_p_mean —
+        the softmax admits no separable quadrature)."""
+        from henbun_tpu.inference.laplace import (
+            multiclass_laplace_joint_marginals,
+            multiclass_laplace_projected,
+        )
+
+        A = self._A(self.x)
+        res = multiclass_laplace_projected(
+            A, self.y[:, 0], self._K, newton_iters=self._newton_iters
+        )
+        x_new = jnp.asarray(x_new)
+        LsT = self.gp._effective_LT(x_new)
+        Astar = jnp.swapaxes(LsT, -1, -2) * jnp.sqrt(self.k_var)
+        corr = (
+            jnp.maximum(
+                self.gp._additional_cov(x_new, LsT, "diagonal"), 0.0
+            )
+            * self.k_var[0]
+        )
+        means, covs = multiclass_laplace_joint_marginals(A, res, Astar, corr)
+        chols = jnp.linalg.cholesky(
+            covs + 1e-8 * jnp.eye(self._K, dtype=means.dtype)[None]
+        )
+        eps = jax.random.normal(
+            jax.random.PRNGKey(0), (int(num),) + means.shape,
+            dtype=means.dtype,
+        )  # [num, n*, K]
+        draws = means[None] + jnp.einsum("jkl,sjl->sjk", chols, eps)
+        return jnp.mean(jax.nn.softmax(draws, axis=-1), axis=0)

@@ -293,7 +293,7 @@ class SparseGPRobust(hb.model.Model):
     """
 
     def setUp(self, X, Y, num_inducing=64, kern=None, newton_iters=15,
-              df=3.0):
+              df=3.0, train_z=False):
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
@@ -302,8 +302,11 @@ class SparseGPRobust(hb.model.Model):
         z = np.quantile(
             np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
         ).astype(np.float32)
+        # frozen z by default — see SparseGPC.setUp (inducing-point
+        # collision under evidence training)
         self.gp = hb.gp.SparseGP(
-            kern if kern is not None else hb.gp.kernels.UnitRBF(), z
+            kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
+            collections=None if train_z else ["inducing_z"],
         )
         self.k_var = hb.Variable(shape=[1], transform=hb.transforms.positive)
         self.var = hb.Variable(shape=[1], transform=hb.transforms.positive)

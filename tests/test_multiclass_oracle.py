@@ -261,3 +261,82 @@ def test_bound_is_below_mc_elbo():
     mc = np.mean([float(mc_opt.run()) for _ in range(200)])
     se = np.std([float(mc_opt.run()) for _ in range(200)]) / np.sqrt(200)
     assert bound < mc + 5 * se, (bound, mc, se)
+
+
+class TestSparseGPMulticlass:
+    """The jax multiclass-Laplace ENGINE (inference/laplace.py's blocked
+    softmax curvature) against this file's numpy oracle, and deterministic
+    evidence training at scale (round 4)."""
+
+    def test_z_eq_x_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        n = 60
+        X = np.sort(rng.uniform(0, 6, (n, 1))).astype(np.float32)
+        L = 2.5 * np.concatenate(
+            [np.sin(X + s) for s in (0.0, 2.1, 4.2)], axis=1
+        )
+        P = np.exp(L - L.max(1, keepdims=True))
+        P /= P.sum(1, keepdims=True)
+        y = np.array([rng.choice(3, p=p) for p in P], np.int32)[:, None]
+
+        hb.set_seed(0)
+        m = models.SparseGPMulticlass(
+            seed=0, X=X, Y=y, num_classes=3, num_inducing=n
+        )
+        m.gp.z = X.copy()
+        m.initialize()
+        kv = float(np.asarray(m.k_var.value)[0])
+        ell = float(np.asarray(m.gp.kern.lengthscales.value)[0])
+
+        res = m.run(lambda mm: mm.laplace())
+        assert float(res.grad_norm) < 1e-3
+
+        jit = float(hb.settings.numerics.jitter_level)
+        Xd = X[:, 0].astype(np.float64)
+        Kg = kv * (
+            np.exp(-0.5 * (Xd[:, None] - Xd[None, :]) ** 2 / ell**2)
+            + jit * np.eye(n)
+        )
+        _, g, W, ev, gn = softmax_laplace_oracle(Kg, y[:, 0], 3)
+        assert gn < 1e-2
+        assert abs(float(res.log_marginal) - ev) < 1e-3 * abs(ev)
+
+        grid = np.linspace(0.2, 5.8, 20, dtype=np.float32)[:, None]
+        p_jax = np.asarray(m.run(lambda mm: mm.predict_p(grid, num=4096)))
+        gd = grid[:, 0].astype(np.float64)
+        ks = kv * np.exp(-0.5 * (Xd[:, None] - gd[None, :]) ** 2 / ell**2)
+        p_or = oracle_predict(Kg, ks, np.full(len(gd), kv), g, W, 3)
+        assert np.abs(p_jax - p_or).max() < 0.02, np.abs(p_jax - p_or).max()
+
+    def test_deterministic_evidence_training_at_2e4(self):
+        """IFT gradients through the blocked curvature: the evidence trains
+        full-batch at n=2e4 and the learned probabilities track the
+        generator (measured 0.0046 mean after 120 Adam steps)."""
+        rng = np.random.default_rng(0)
+        n = 20000
+        X = np.sort(rng.uniform(0, 6, (n, 1))).astype(np.float32)
+        L = 2.5 * np.concatenate(
+            [np.sin(X + s) for s in (0.0, 2.1, 4.2)], axis=1
+        )
+        P = np.exp(L - L.max(1, keepdims=True))
+        P /= P.sum(1, keepdims=True)
+        y = np.array([rng.choice(3, p=p) for p in P], np.int32)[:, None]
+
+        hb.set_seed(0)
+        m = models.SparseGPMulticlass(
+            seed=0, X=X, Y=y, num_classes=3, num_inducing=32
+        )
+        opt = m.log_marginal_laplace().compile(optax.adam(0.05))
+        e0 = float(opt.run())
+        opt.optimize(maxiter=120)
+        e1 = float(opt.run())
+        assert np.isfinite(e1) and e1 > e0
+        grid = np.linspace(0.2, 5.8, 25, dtype=np.float32)[:, None]
+        p = np.asarray(m.run(lambda mm: mm.predict_p(grid)))
+        Lg = 2.5 * np.concatenate(
+            [np.sin(grid + s) for s in (0.0, 2.1, 4.2)], axis=1
+        )
+        Pg = np.exp(Lg - Lg.max(1, keepdims=True))
+        Pg /= Pg.sum(1, keepdims=True)
+        assert np.abs(p - Pg).mean() < 0.02, np.abs(p - Pg).mean()
+        assert np.allclose(p.sum(-1), 1.0, atol=1e-4)
