@@ -1,8 +1,9 @@
-"""Training rate of the round-3 model families on the real chip.
+"""Training rate of the model families on the real chip.
 
 One session, one table: steps/s (steady state, scan-chunked) for the
 heteroscedastic, multi-output, deep-GP, GP-LVM, Poisson-count and multiclass
-families at representative sizes. These are end-to-end rates — objective,
+families (dense and sparse) plus the full-batch deterministic evidence
+engines, at representative sizes. These are end-to-end rates — objective,
 gradients, optimizer update and minibatch gather inside the jitted scan.
 
 Usage: python benchmarks/families_bench.py [--steps 4000]
