@@ -1,4 +1,4 @@
-"""Binary GP classification four ways — the deterministic engines side by
+"""Binary GP classification five ways — the deterministic engines side by
 side on the same generator:
 
   * exact-gram Laplace (`models.GPC`, inference/laplace.py): Newton mode +
@@ -9,7 +9,10 @@ side on the same generator:
     gradients (`models.SVGPClassification`) for the large-n regime;
   * inducing-point Laplace (`models.SparseGPC`): the FULLY deterministic
     large-n path — evidence-trained hyperparameters with no variational
-    parameters, every factorization m x m.
+    parameters, every factorization m x m;
+  * inducing-point expectation propagation (SparseGPC.log_marginal_ep,
+    inference/ep.py's projected engine): moment matching at the same
+    O(n m^2) per sweep, trained under the ep_delta convergence guard.
 
 The reference ships `densities.bernoulli` broken (TF<1.0 `tf.select`,
 /root/reference/Henbun/densities.py:35-36) and no classifier at all; this

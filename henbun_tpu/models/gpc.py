@@ -379,9 +379,13 @@ class SparseGPMulticlass(hb.model.Model):
             * self.k_var[0]
         )
         means, covs = multiclass_laplace_joint_marginals(A, res, Astar, corr)
-        chols = jnp.linalg.cholesky(
-            covs + 1e-8 * jnp.eye(self._K, dtype=means.dtype)[None]
-        )
+        # scale-aware floor + safe_cholesky, not a fixed absolute 1e-8: at
+        # large k_var the f32-rounded near-PSD per-point covariances can dip
+        # below any absolute jitter and NaN the predictive draws
+        from henbun_tpu.inference.laplace import _with_floor
+        from henbun_tpu.ops.linalg import safe_cholesky
+
+        chols = safe_cholesky(_with_floor(covs, 1e-8), 1e-8)
         eps = jax.random.normal(
             jax.random.PRNGKey(0), (int(num),) + means.shape,
             dtype=means.dtype,

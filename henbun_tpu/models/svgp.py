@@ -47,9 +47,10 @@ def _whitened_marginals(gp, q, x, k_var):
     # corr cancels slightly NEGATIVE in f32 at inputs coinciding with
     # inducing points (guaranteed by the quantile-z init on training rows;
     # same failure _safe_corr_std documents) — clamp so sqrt(f_var) in the
-    # quadrature/predictive consumers can't NaN. qvar > 0 generically keeps
-    # the total off the sqrt-gradient singularity at exactly 0.
-    return mean * jnp.sqrt(k_var), jnp.maximum(qvar + corr, 0.0) * k_var
+    # quadrature/predictive consumers can't NaN. The floor is a tiny
+    # POSITIVE (not 0): a degenerate q could land the total exactly on the
+    # sqrt-gradient singularity.
+    return mean * jnp.sqrt(k_var), jnp.maximum(qvar + corr, 1e-12) * k_var
 
 
 def _layered_whitened_marginals(gp, q, x, k_var):
@@ -77,8 +78,9 @@ def _layered_whitened_marginals(gp, q, x, k_var):
     corr = gp._additional_cov(x, LnT, "diagonal")  # [B]
     kv = jnp.reshape(k_var, ())
     # clamp as in _whitened_marginals: corr goes slightly negative in f32
-    # at inducing-point-coincident inputs and consumers sqrt this
-    return mean * jnp.sqrt(kv), jnp.maximum(qvar + corr[None, :], 0.0) * kv
+    # at inducing-point-coincident inputs and consumers sqrt this (positive
+    # floor — keep off the sqrt-gradient singularity at exactly 0)
+    return mean * jnp.sqrt(kv), jnp.maximum(qvar + corr[None, :], 1e-12) * kv
 
 
 class SVGPRegression(hb.model.Model):

@@ -20,6 +20,16 @@ from ._settings import settings, np_float
 from .ops import linalg
 
 
+def _float_type():
+    """The configured float dtype, canonicalized for the ACTIVE jax config:
+    requesting float64 zeros under the default x64-disabled runtime emits a
+    truncation UserWarning on every trace — canonicalize first so the dtype
+    we ask for is the dtype we can get."""
+    import jax
+
+    return jax.dtypes.canonicalize_dtype(settings.dtypes.float_type)
+
+
 class Transform:
     def forward(self, x):
         """Map from the free-space to the variable space (host-side)."""
@@ -55,7 +65,7 @@ class Identity(Transform):
         return y
 
     def tf_log_jacobian(self, x):
-        return jnp.zeros((1,), settings.dtypes.float_type)
+        return jnp.zeros((1,), _float_type())
 
     def __str__(self):
         return "(none)"
@@ -155,7 +165,7 @@ class LowerTriangular(Transform):
         return linalg.vec_to_tri(x, self.n)
 
     def tf_log_jacobian(self, x):
-        return jnp.zeros((1,), settings.dtypes.float_type)
+        return jnp.zeros((1,), _float_type())
 
     def __str__(self):
         return "LoTri->vec"

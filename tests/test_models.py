@@ -30,7 +30,7 @@ class TestGPR:
         rmse = np.sqrt(np.mean((fmean - np.sin(X)) ** 2))
         assert rmse < 0.3
         # learned noise variance near the generating 0.3^2
-        assert 0.02 < float(m.var.value) < 0.25
+        assert 0.02 < np.asarray(m.var.value).reshape(()).item() < 0.25
 
     def test_gpr_student_runs(self):
         X, Y = models.make_sine_dataset(n=30)
@@ -71,8 +71,8 @@ class TestLinear:
         opt = m.elbo()
         opt.compile(optax.adam(0.05))
         opt.optimize(maxiter=2000)
-        a_mean = float(np.asarray(m.a.q_mu.free_value))
-        b_mean = float(np.asarray(m.b.q_mu.free_value))
+        a_mean = np.asarray(m.a.q_mu.free_value).reshape(()).item()
+        b_mean = np.asarray(m.b.q_mu.free_value).reshape(()).item()
         assert abs(a_mean - 1.0) < 0.2
         assert abs(b_mean - 2.0) < 0.2
 
@@ -82,8 +82,8 @@ class TestLinear:
         opt = m.logp()
         opt.compile(optax.adam(0.05))
         opt.optimize(maxiter=2000)
-        assert abs(float(m.a.value) - 1.0) < 0.15
-        assert abs(float(m.b.value) - 2.0) < 0.15
+        assert abs(np.asarray(m.a.value).reshape(()).item() - 1.0) < 0.15
+        assert abs(np.asarray(m.b.value).reshape(()).item() - 2.0) < 0.15
 
 
 class TestAmortized:
