@@ -161,8 +161,10 @@ class SparseGPC(hb.model.Model):
     """
 
     def setUp(self, X, Y, num_inducing=128, kern=None, newton_iters=15,
-              train_z=False):
+              train_z=False, z_penalty=None):
         import numpy as np
+
+        from ._zguard import setup_z_guard
 
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
@@ -177,8 +179,11 @@ class SparseGPC(hb.model.Model):
         # -> 5.6e-4 by step 115, NaN at 119 — coincident z is a rank-
         # deficient Kmm whose f32 Cholesky GRADIENT blows past any jitter
         # rescue, the cliff CLAUDE.md documents). A collision adds no
-        # capacity, so freezing costs nothing at quantile init;
-        # train_z=True re-enables (watch spacing).
+        # capacity, so freezing costs nothing at quantile init.
+        # train_z=True re-enables, SAFELY: the objectives subtract the
+        # `gp.gp.z_repulsion` barrier (inactive above half the init min
+        # spacing, infinite at coincidence) so z can migrate but not collide.
+        setup_z_guard(self, z, train_z, z_penalty, self.n_data)
         self.gp = hb.gp.SparseGP(
             kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
             collections=None if train_z else ["inducing_z"],
@@ -197,13 +202,16 @@ class SparseGPC(hb.model.Model):
     @hb.AutoOptimize()
     def log_marginal_laplace(self):
         """Sparse Laplace evidence — deterministic; trains the kernel
-        hyperparameters (and z too under ``train_z=True``)."""
+        hyperparameters (and z too under ``train_z=True``, guarded by the
+        collision barrier)."""
         from henbun_tpu.inference.laplace import laplace_whitened
+
+        from ._zguard import z_guard
 
         return laplace_whitened(
             self._loglik(), self._A(self.x),
             newton_iters=self._newton_iters,
-        ).log_marginal
+        ).log_marginal - z_guard(self)
 
     def laplace(self):
         """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
@@ -258,7 +266,12 @@ class SparseGPC(hb.model.Model):
         under the same ep_delta convergence guard as the dense engine."""
         from henbun_tpu.inference.ep import ep_gp_projected
 
-        return ep_gp_projected(self._loglik(), self._A(self.x)).log_marginal
+        from ._zguard import z_guard
+
+        return (
+            ep_gp_projected(self._loglik(), self._A(self.x)).log_marginal
+            - z_guard(self)
+        )
 
     def ep(self, sweeps=30, damping=0.5):
         """Full :class:`~henbun_tpu.inference.ep.EPResult` at the current
@@ -312,8 +325,10 @@ class SparseGPMulticlass(hb.model.Model):
     conditioned and run n=1e5 fine)."""
 
     def setUp(self, X, Y, num_classes, num_inducing=64, kern=None,
-              newton_iters=15, train_z=False):
+              newton_iters=15, train_z=False, z_penalty=None):
         import numpy as np
+
+        from ._zguard import setup_z_guard
 
         self._K = int(num_classes)
         self._newton_iters = int(newton_iters)
@@ -324,7 +339,9 @@ class SparseGPMulticlass(hb.model.Model):
             np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
         ).astype(np.float32)
         # frozen z by default — see SparseGPC.setUp (the collision was
-        # measured on THIS family)
+        # measured on THIS family); train_z=True opts in under the
+        # collision barrier
+        setup_z_guard(self, z, train_z, z_penalty, self.n_data)
         self.gp = hb.gp.SparseGP(
             kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
             collections=None if train_z else ["inducing_z"],
@@ -340,10 +357,12 @@ class SparseGPMulticlass(hb.model.Model):
         """Multiclass Laplace evidence — deterministic; IFT gradients."""
         from henbun_tpu.inference.laplace import multiclass_laplace_projected
 
+        from ._zguard import z_guard
+
         return multiclass_laplace_projected(
             self._A(self.x), self.y[:, 0], self._K,
             newton_iters=self._newton_iters,
-        ).log_marginal
+        ).log_marginal - z_guard(self)
 
     def laplace(self):
         """Full MulticlassLaplaceResult at the current hyperparameters."""

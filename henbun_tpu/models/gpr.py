@@ -293,7 +293,9 @@ class SparseGPRobust(hb.model.Model):
     """
 
     def setUp(self, X, Y, num_inducing=64, kern=None, newton_iters=15,
-              df=3.0, train_z=False):
+              df=3.0, train_z=False, z_penalty=None):
+        from ._zguard import setup_z_guard
+
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
@@ -303,7 +305,9 @@ class SparseGPRobust(hb.model.Model):
             np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
         ).astype(np.float32)
         # frozen z by default — see SparseGPC.setUp (inducing-point
-        # collision under evidence training)
+        # collision under evidence training); train_z=True opts in under
+        # the collision barrier
+        setup_z_guard(self, z, train_z, z_penalty, self.n_data)
         self.gp = hb.gp.SparseGP(
             kern if kern is not None else hb.gp.kernels.UnitRBF(), z,
             collections=None if train_z else ["inducing_z"],
@@ -324,10 +328,12 @@ class SparseGPRobust(hb.model.Model):
         """Sparse Laplace evidence (saddle-free Newton; IFT gradients)."""
         from henbun_tpu.inference.laplace import laplace_whitened
 
+        from ._zguard import z_guard
+
         return laplace_whitened(
             self._loglik(), self._A(self.x),
             newton_iters=self._newton_iters,
-        ).log_marginal
+        ).log_marginal - z_guard(self)
 
     @hb.AutoOptimize()
     def log_marginal_ep(self):
@@ -344,10 +350,12 @@ class SparseGPRobust(hb.model.Model):
         Student-t engine."""
         from henbun_tpu.inference.ep import ep_gp_projected
 
+        from ._zguard import z_guard
+
         return ep_gp_projected(
             self._loglik(), self._A(self.x), sweeps=60, damping=0.3,
             implicit_diff=False,
-        ).log_marginal
+        ).log_marginal - z_guard(self)
 
     def predict_f(self, x_new):
         """Laplace posterior marginals (mean [n*, 1], var [n*, 1]) of the
