@@ -45,7 +45,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.linalg import matmul_hp, safe_cholesky
+from .._settings import settings
+from ..ops.linalg import matmul_hp, safe_cholesky, tri_solve
 
 
 class LaplaceResult(NamedTuple):
@@ -388,36 +389,126 @@ def _softmax_psi(A, Y1, u):
     return ll - 0.5 * jnp.sum(u * u), F, G, Pi
 
 
-def _softmax_H(A, Pi, jitter):
-    """The full [K m, K m] Newton matrix H = I + blocks(A^T W_cc' A) with
-    the softmax coupling W_i = diag(pi_i) - pi_i pi_i^T (GPML ch. 3.5's
-    block structure, built dense — Km is small: K classes x m <= 128
-    inducing). Flat index order: (c, i) -> c*m + i."""
+def _softmax_G(A, Pi):
+    """The square-root factor G [n K, K m] of the blocked softmax curvature:
+    G^T G = blocks(A^T W_cc' A) with W_i = diag(pi_i) - pi_i pi_i^T (GPML
+    ch. 3.5's coupling), so the Newton matrix is H = I + G^T G WITHOUT ever
+    being formed. Key identity: with q = sqrt(pi) (unit norm, sum pi = 1),
+    W = D^{1/2} (I - q q^T) D^{1/2} and I - q q^T is an orthogonal
+    PROJECTOR, so C = D^{1/2} (I - q q^T), i.e. C_ce = q_c delta_ce -
+    pi_c q_e, satisfies C C^T = W exactly. G stacks rows
+    G[(n,e),(c,i)] = C_n[c,e] A[n,i]. Flat column order: (c, i) -> c*m + i
+    (matching the u layout used throughout).
+
+    Working with the square root instead of the normal matrix is what
+    breaks the round-4 f32 envelope (n * k_var ~ 2e5 per class): the
+    f32-BUILT H = I + A^T W A loses its unit eigenvalue floor to entry
+    rounding at n k_var scale (measured min eig -0.025 under lambda_max
+    5.4e4) and the evidence gradient NaNs; factorizations derived from G
+    see condition sqrt(cond H) and keep the floor exact."""
     n, m = A.shape
     K = Pi.shape[-1]
+    prec = settings.tpu.matmul_precision
+    q = jnp.sqrt(Pi)
     eyeK = jnp.eye(K, dtype=A.dtype)
-    W3 = Pi[:, :, None] * (eyeK[None] - Pi[:, None, :])  # [n, K, K]
-    H = jnp.einsum("ni,nkl,nj->kilj", A, W3, A).reshape(K * m, K * m)
-    del jitter  # PD regularization happens in safe_cholesky at the callers
-    return H + jnp.eye(K * m, dtype=A.dtype)
+    C = q[:, :, None] * eyeK[None] - Pi[:, :, None] * q[:, None, :]  # [n,c,e]
+    return jnp.einsum("nce,ni->neci", C, A, precision=prec).reshape(
+        n * K, K * m
+    )
+
+
+def _sqrt_gram_factor(G, jitter=1e-6):
+    """Upper-triangular R with R^T R = I + G^T G, at HOUSEHOLDER-QR accuracy
+    but built from MXU matmuls + two tiny p x p Cholesky factorizations:
+    shifted CholeskyQR2 (Fukaya et al., "Shifted Cholesky QR for computing
+    the QR factorization of ill-conditioned matrices", 2020 — PAPERS.md).
+
+    Pass 1 factorizes the (floored) normal matrix B0 = I + G^T G + f I;
+    pass 2 re-orthogonalizes: with Q1 = [G; I] R0^{-1},
+    B1 = Q1^T Q1 is near-identity and rock-solid PD, and
+    R = chol(B1)^T R0 satisfies R^T R = (Q1 R0)^T (Q1 R0) = I + G^T G
+    EXACTLY in exact arithmetic — the shift f cancels, so the returned
+    factor carries none of the floor's bias. Measured at n=1e5, m=128,
+    K=3 on v5e vs a float64 oracle: logdet err 1.3e-3 (the floored f32
+    normal-matrix Cholesky is off by 1.3), H-solve rel err 4e-6, and it
+    runs ~7x faster than XLA's Householder QR of the stacked [nK+Km, Km]
+    matrix. diag(R) > 0 by construction."""
+    p = G.shape[-1]
+    I = jnp.eye(p, dtype=G.dtype)
+    B0 = I + matmul_hp(jnp.swapaxes(G, -1, -2), G)
+    L0 = safe_cholesky(_with_floor(B0, jitter), jitter)
+    L0inv = tri_solve(L0, I)
+    R0inv = jnp.swapaxes(L0inv, -1, -2)
+    Gi = matmul_hp(G, R0inv)
+    B1 = matmul_hp(jnp.swapaxes(Gi, -1, -2), Gi) + matmul_hp(
+        L0inv, R0inv
+    )
+    L1 = jnp.linalg.cholesky(B1)
+    return matmul_hp(jnp.swapaxes(L1, -1, -2), jnp.swapaxes(L0, -1, -2))
+
+
+def _sqrt_solve(R, b):
+    """(I + G^T G)^-1 b from the CholQR2 factor: R^-1 (R^-T b). R^T is
+    lower triangular, so both solves ride the library tri-solve dispatch
+    (Pallas-eligible on batched traces)."""
+    from ..ops.linalg import _tri_solve_T_dispatch
+
+    RT = jnp.swapaxes(R, -1, -2)
+    return _tri_solve_T_dispatch(RT, tri_solve(RT, b))
+
+
+@jax.custom_vjp
+def logdet_sqrt_gram(G):
+    """log det(I + G^T G) via the square-root factor — stable where the
+    f32-built normal matrix has lost its unit eigenvalue floor. The
+    gradient is the EXACT identity d logdet = <2 G H^-1, dG>, evaluated
+    with the saved factor (one tiny triangular inverse + one tall matmul);
+    reverse-mode only like the rest of the linear-algebra stack."""
+    R = _sqrt_gram_factor(G)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(R, axis1=-2, axis2=-1)))
+
+
+def _logdet_sqrt_fwd(G):
+    R = _sqrt_gram_factor(G)
+    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(R, axis1=-2, axis2=-1)))
+    return ld, (G, R)
+
+
+def _logdet_sqrt_bwd(res, lam):
+    G, R = res
+    p = G.shape[-1]
+    I = jnp.eye(p, dtype=G.dtype)
+    Rinv = _tri_solve_T_of_upper(R, I)
+    Hinv = matmul_hp(Rinv, jnp.swapaxes(Rinv, -1, -2))
+    return (2.0 * lam * matmul_hp(G, Hinv),)
+
+
+def _tri_solve_T_of_upper(R, B):
+    """R^-1 B for upper-triangular R, via the lower-triangular dispatch on
+    R^T (solves (R^T)^T X = B)."""
+    from ..ops.linalg import _tri_solve_T_dispatch
+
+    return _tri_solve_T_dispatch(jnp.swapaxes(R, -1, -2), B)
+
+
+logdet_sqrt_gram.defvjp(_logdet_sqrt_fwd, _logdet_sqrt_bwd)
 
 
 def _softmax_newton(A, Y1, iters):
     """Damped Newton scan for the softmax mode; softmax is log-concave so
     H is PD — same 4-alpha best-psi select ladder as the factorizing
-    engine (straight-line, vmappable)."""
-    from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
-
+    engine (straight-line, vmappable). Direction solves ride the CholQR2
+    square-root factor (H is never formed), so the mode search stays
+    accurate past the round-4 n * k_var f32 envelope."""
     n, m = A.shape
     K = Y1.shape[-1]
 
     def step(u, _):
         psi0, F, G, Pi = _softmax_psi(A, Y1, u)
         grad = matmul_hp(jnp.swapaxes(A, -1, -2), G) - u  # [m, K]
-        H = _softmax_H(A, Pi, 0.0)
-        Lh = safe_cholesky(_with_floor(H), 1e-6)
+        R = _sqrt_gram_factor(_softmax_G(A, Pi))
         gflat = jnp.swapaxes(grad, -1, -2).reshape(K * m, 1)
-        d = _tri_solve_T_dispatch(Lh, tri_solve(Lh, gflat))
+        d = _sqrt_solve(R, gflat)
         d = jnp.swapaxes(d.reshape(K, m), -1, -2)  # [m, K]
         tie_tol = 1e-5 * (1.0 + jnp.abs(psi0))
         alphas = jnp.asarray((1.0, 0.3, 0.1, 0.03), A.dtype)
@@ -450,17 +541,14 @@ def _softmax_mode_fwd(iters, A, Y1):
 def _softmax_mode_bwd(iters, res, ubar):
     """IFT at the mode: F(u; A) = A^T (Y1 - softmax(A u)) - u = 0,
     dF/du = -H (the blocked softmax curvature), so ubar^T du*/dA = w^T dF/dA
-    with H w = ubar."""
-    from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
-
+    with H w = ubar — solved through the CholQR2 square-root factor."""
     A, Y1, u = res
     n, m = A.shape
     K = Y1.shape[-1]
     _, F, G, Pi = _softmax_psi(A, Y1, u)
-    H = _softmax_H(A, Pi, 0.0)
-    Lh = safe_cholesky(_with_floor(H), 1e-6)
+    R = _sqrt_gram_factor(_softmax_G(A, Pi))
     ubarflat = jnp.swapaxes(ubar, -1, -2).reshape(K * m, 1)
-    w = _tri_solve_T_dispatch(Lh, tri_solve(Lh, ubarflat))
+    w = _sqrt_solve(R, ubarflat)
     w = jnp.swapaxes(w.reshape(K, m), -1, -2)  # [m, K]
 
     def Ffn(A_):
@@ -485,24 +573,25 @@ def multiclass_laplace_projected(A, y_idx, n_classes, newton_iters=15,
     y_idx [n] int labels. The softmax couples the classes PER POINT, so the
     curvature is the GPML ch. 3.5 block structure — the factorizing-
     likelihood engine cannot express it (its Hessian-times-ones diagonal
-    trick returns W pi . 1 = 0 for softmax). Every factorization here is
-    (K m) x (K m), built from K^2 blocks of A^T diag(w) A — deterministic
-    multiclass evidence training at n >= 1e5. Evidence gradients by the
-    IFT at the mode (softmax is log-concave: H is PD, the mode is unique).
+    trick returns W pi . 1 = 0 for softmax). Deterministic multiclass
+    evidence training at n >= 1e5; evidence gradients by the IFT at the
+    mode (softmax is log-concave: H is PD, the mode is unique).
 
     Gated against the numpy float64 oracle at z = X
     (tests/test_multiclass_oracle.py's engine) — see
     `models.SparseGPMulticlass`.
 
-    f32 OPERATING ENVELOPE: H's unit eigenvalue floor must stay
-    representable next to its n*k_var-scale entries. Measured on v5e:
-    n=3e4, m=64 trains 500 steps clean (kv up to 7.5); at n=1e5, m=128
-    the f64-reconstructed min eigenvalue of the f32-built H is -0.025
-    under lambda_max 5.4e4 and training NaNs near step 100 even with the
-    scale-aware floor (`_with_floor` rescues marginal cases only — the
-    information in the floored eigenvalues is below f32 resolution
-    regardless). Keep n * k_var below ~2e5 per class, subsample, or wait
-    for an f64-island/reformulated H (round-5 candidate).
+    NUMERICS (round 5): every solve and the evidence logdet go through the
+    SQUARE-ROOT curvature factor (`_softmax_G` + `_sqrt_gram_factor`,
+    shifted CholeskyQR2) instead of the f32-built normal matrix
+    H = I + blocks(A^T W A). The round-4 engine formed H directly and hit
+    an f32 wall at n * k_var ~ 2e5 per class (H's unit eigenvalue floor
+    fell below entry rounding: measured min eig -0.025 under lambda_max
+    5.4e4 at n=1e5, m=128, and training NaN'd near step 100 despite the
+    scale-aware floor). The square-root path sees condition sqrt(cond H),
+    keeps the unit floor exact, and measures logdet err 1.3e-3 / H-solve
+    err 4e-6 against a float64 oracle on that same formerly-NaN workload
+    (docs/PERF.md §families for the chip training run).
     """
     n = A.shape[-2]
     K = int(n_classes)
@@ -513,9 +602,7 @@ def multiclass_laplace_projected(A, y_idx, n_classes, newton_iters=15,
         u_star = _softmax_newton(A, Y1, int(newton_iters))
     psi, F, G, Pi = _softmax_psi(A, Y1, u_star)
     grad = matmul_hp(jnp.swapaxes(A, -1, -2), G) - u_star
-    H = _softmax_H(A, Pi, 0.0)
-    Lh = safe_cholesky(_with_floor(H), 1e-6)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lh)))
+    logdet = logdet_sqrt_gram(_softmax_G(A, Pi))
     return MulticlassLaplaceResult(
         u_mode=u_star,
         f_mode=F,
@@ -537,8 +624,9 @@ def multiclass_laplace_joint_marginals(A, res, Astar, corr_diag,
     K = res.u_mode.shape[-1]
     # the curvature needs only Pi at the mode — from the stored logits
     Pi = jax.nn.softmax(res.f_mode, axis=-1)
-    H = _softmax_H(A, Pi, 0.0)
-    Lh = safe_cholesky(_with_floor(H, jitter), jitter)
+    # CholQR2 factor: R^T R = H, so R^T is the lower factor the solve wants
+    R = _sqrt_gram_factor(_softmax_G(A, Pi), jitter)
+    Lh = jnp.swapaxes(R, -1, -2)
     means = matmul_hp(Astar, res.u_mode)  # [n*, K]
     ns = Astar.shape[-2]
     # G_half = Lh^-1 (I_K kron Astar^T): [Km, K n*] — build blockwise
