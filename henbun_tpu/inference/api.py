@@ -26,7 +26,7 @@ def sample_posterior(
     num_samples=1000,
     num_warmup=500,
     sampler="chees",
-    collection=None,
+    collection="__default__",
     key=None,
     init_jitter=0.1,
     mesh=None,
@@ -37,7 +37,12 @@ def sample_posterior(
 
     - method: objective returning the log density (name / method / Optimizer).
     - sampler: 'chees' (default; best ESS/s on TPU), 'hmc', or 'nuts'.
-    - collection: which Variables form theta (None = all globals).
+    - collection: which Variables form theta. Defaults to the SAME trainable
+      tag `Optimizer.compile` uses (graph_key.VARIABLES), so variables a
+      model deliberately segregates (e.g. the sparse families' frozen
+      inducing points, tagged "inducing_z") are frozen here too — sampling
+      them by default would target an improper density (no prior on z).
+      Pass None explicitly to sample every global.
     Returns (result, posterior) where `result` is the sampler's NamedTuple
     and `posterior` maps each tree path to CONSTRAINED-space samples with
     leading axes [num_samples, num_chains].
@@ -49,6 +54,10 @@ def sample_posterior(
     """
     if sampler not in _SAMPLERS:
         raise ValueError("sampler must be one of %s" % sorted(_SAMPLERS))
+    if collection == "__default__":
+        from ..core.param import graph_key
+
+        collection = graph_key.VARIABLES
     flp = make_log_prob(model, method, collection)
     if key is None:
         key = model._next_key()

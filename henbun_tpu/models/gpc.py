@@ -258,6 +258,41 @@ class SparseGPC(hb.model.Model):
         )
         return p[:, None]
 
+    # --- Bayesian hyperparameters (inference/api.py samplers) ---------------
+    def _hyperprior(self):
+        """Weak lognormal(0, 4) log-priors on the evidence hyperparameters
+        (k_var + the kernel's lengthscales when it has them) — keeps the
+        sampling target proper without informing it. Override to change."""
+        from henbun_tpu import densities
+
+        p = jnp.sum(densities.lognormal(self.k_var, 0.0, 4.0))
+        ls = getattr(self.gp.kern, "lengthscales", None)
+        if ls is not None:
+            p = p + jnp.sum(densities.lognormal(ls, 0.0, 4.0))
+        return p
+
+    @hb.AutoOptimize()
+    def log_posterior(self):
+        """Sparse Laplace evidence + weak hyperpriors: the target for
+        BAYESIAN hyperparameters at inducing-point scale —
+        ``hb.inference.sample_posterior(m, "log_posterior")`` runs ChEES
+        over (k_var, lengthscales), every chain's gradient through the IFT
+        mode under vmap (the batched dispatch path). The n >= 1e5 regime is
+        where hyperparameter uncertainty actually matters; the dense `GPC`
+        counterpart is gated in tests/test_laplace.py. Matches the
+        reference's hyperparameters-as-Variationals idea
+        (`/root/reference/Henbun/gp/kernels.py:43-51`) with an exact
+        sampler instead of a variational family."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        from ._zguard import z_guard
+
+        ev = laplace_whitened(
+            self._loglik(), self._A(self.x),
+            newton_iters=self._newton_iters,
+        ).log_marginal
+        return ev - z_guard(self) + self._hyperprior()
+
     # --- expectation propagation (inference/ep.py, projected) --------------
     @hb.AutoOptimize()
     def log_marginal_ep(self):

@@ -357,6 +357,34 @@ class SparseGPRobust(hb.model.Model):
             implicit_diff=False,
         ).log_marginal - z_guard(self)
 
+    # --- Bayesian hyperparameters (inference/api.py samplers) ---------------
+    def _hyperprior(self):
+        """Weak lognormal(0, 4) log-priors on (k_var, noise var, kernel
+        lengthscales) — keeps the sampling target proper. Override to
+        change."""
+        p = jnp.sum(densities.lognormal(self.k_var, 0.0, 4.0))
+        p = p + jnp.sum(densities.lognormal(self.var, 0.0, 4.0))
+        ls = getattr(self.gp.kern, "lengthscales", None)
+        if ls is not None:
+            p = p + jnp.sum(densities.lognormal(ls, 0.0, 4.0))
+        return p
+
+    @hb.AutoOptimize()
+    def log_posterior(self):
+        """Sparse robust (Student-t) Laplace evidence + weak hyperpriors:
+        ``hb.inference.sample_posterior(m, "log_posterior")`` gives Bayesian
+        hyperparameters for heavy-tailed regression at inducing-point scale
+        (see `SparseGPC.log_posterior`)."""
+        from henbun_tpu.inference.laplace import laplace_whitened
+
+        from ._zguard import z_guard
+
+        ev = laplace_whitened(
+            self._loglik(), self._A(self.x),
+            newton_iters=self._newton_iters,
+        ).log_marginal
+        return ev - z_guard(self) + self._hyperprior()
+
     def predict_f(self, x_new):
         """Laplace posterior marginals (mean [n*, 1], var [n*, 1]) of the
         latent at new inputs, residual (FITC) variance restored."""

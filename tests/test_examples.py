@@ -30,6 +30,8 @@ TINY_ARGV = {
     "gplvm": ["--iters", "800", "--n", "300", "--minibatch", "64"],
     "svgp_likelihoods": ["--n", "2000", "--iters", "800",
                          "--minibatch", "256"],
+    "bayes_hypers_sparse": ["--n", "1500", "--m", "12", "--samples", "60",
+                            "--chains", "4"],
 }
 
 

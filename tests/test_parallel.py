@@ -588,7 +588,13 @@ def test_sharded_comm_volume_bounded_by_gradient_size():
         Yb = (rng.uniform(size=Xb.shape) < 0.5).astype(np.float32)
         yield models.SparseGPC(seed=0, X=Xb, Y=Yb, num_inducing=16,
                                newton_iters=4), "log_marginal_laplace", \
-            None, "newton"
+            None, ("inner", 4)
+
+        # projected EP (the dryrun_multichip mechanism): one m^2-sized
+        # all-reduce of the precision partial sums per damped sweep
+        yield models.SparseGPC(seed=1, X=Xb, Y=Yb, num_inducing=16,
+                               newton_iters=4), "log_marginal_ep", \
+            None, ("inner", 30)
 
     for m, obj, mb, expect_comm in build_cases():
         opt = ShardedOptimizer(m, obj, mesh=mesh)
@@ -605,13 +611,15 @@ def test_sharded_comm_volume_bounded_by_gradient_size():
             np.asarray(v).nbytes for v in opt._trainable.values()
         )
         comm = _all_reduce_bytes(txt)
-        if expect_comm == "newton":
-            # the data-sharded DETERMINISTIC engine all-reduces its
-            # m^2-sized partial sums (A^T W A, A^T g) once per inner Newton
-            # iteration — n-INDEPENDENT, bounded by iterations x m^2
+        if isinstance(expect_comm, tuple):
+            # the data-sharded DETERMINISTIC engines all-reduce their
+            # m^2-sized partial sums (A^T W A / A^T tau A, A^T g) once per
+            # inner iteration (Newton step or EP sweep) — n-INDEPENDENT,
+            # bounded by iterations x m^2
             assert comm > 0, type(m).__name__
+            _, inner = expect_comm
             mi = m.gp.m
-            bound = 4 * (m._newton_iters + 2) * (mi * mi + 4 * mi + 64)
+            bound = 4 * (inner + 2) * (mi * mi + 4 * mi + 64)
             assert comm <= bound, (type(m).__name__, comm, bound)
         elif expect_comm:
             assert comm > 0, (type(m).__name__, "no gradient all-reduce?")
