@@ -702,8 +702,14 @@ class Optimizer:
                                 jax.tree_util.tree_map(jnp.asarray, snap_o)
                             )
                             hint = ""
-                            if getattr(self.optimizer, "henbun_natgrad",
-                                       False):
+                            model_hint = getattr(model, "_nan_hint", None)
+                            if model_hint:
+                                # a model-declared failure hint (the evidence
+                                # families name their own remedies) beats the
+                                # generic optimizer-pairing one
+                                hint = " " + model_hint
+                            elif getattr(self.optimizer, "henbun_natgrad",
+                                         False):
                                 hint = (
                                     " Likely cause with natural gradients: a"
                                     " stochastic (MC) objective with gamma"

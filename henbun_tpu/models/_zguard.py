@@ -12,6 +12,20 @@ spacings above the barrier onset remain completely unconstrained.
 """
 from __future__ import annotations
 
+# Evidence-family abort hint: the Optimizer's nan-guard names this instead
+# of the natural-gradient pairing rule when a run goes non-finite twice in
+# a row (model.py's abort path reads `model._nan_hint`).
+EVIDENCE_NAN_HINT = (
+    "Likely causes in an evidence family: (a) colliding inducing points — "
+    "with train_z=True the repulsion barrier should prevent this, check "
+    "gp.gp.z_min_spacing(model.gp.z.value); (b) likelihood/kernel scale "
+    "beyond float32 — the multiclass engine's square-root curvature path "
+    "lifts the old n*k_var ~ 2e5 per-class envelope, but custom engines "
+    "forming I + A^T W A directly still round its unit eigenvalue floor "
+    "away (subsample or reduce k_var); (c) settings.numerics.jitter_level "
+    "below the measured 1e-4 Cholesky-gradient floor (docs/PERF.md)."
+)
+
 
 def setup_z_guard(model, z, train_z, z_penalty, n_data):
     """Record barrier constants on `model` at setUp time.
@@ -23,6 +37,7 @@ def setup_z_guard(model, z, train_z, z_penalty, n_data):
     """
     from ..gp.gp import z_min_spacing
 
+    model._nan_hint = EVIDENCE_NAN_HINT
     model._train_z = bool(train_z)
     s0 = z_min_spacing(z)
     model._z_d0 = 0.5 * s0 if s0 > 0 else 1e-3

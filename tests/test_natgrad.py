@@ -559,3 +559,25 @@ def test_nan_guard_names_natgrad_pairing_rule():
     opt.compile(hopt.natural_gradient(m, gamma=0.1, rest=optax.adam(0.01)))
     with pytest.raises(FloatingPointError, match="pairing rule"):
         opt.optimize(maxiter=10)
+
+
+def test_nan_guard_names_evidence_remedies_in_evidence_families():
+    """A NaN abort in an evidence family must name the EVIDENCE remedies
+    (inducing spacing, f32 scale envelope, jitter floor — VERDICT r4 #5),
+    not the natural-gradient pairing rule: the model-declared hint wins
+    over the optimizer-pairing one."""
+    import numpy as np
+
+    from henbun_tpu import models
+
+    rng = np.random.default_rng(0)
+    X = np.sort(rng.uniform(0, 6, (200, 1))).astype(np.float32)
+    Y = (rng.uniform(size=X.shape) < 0.5).astype(np.float32)
+    Y[7] = np.nan  # poison one label: the evidence is non-finite every step
+    m = models.SparseGPC(seed=0, X=X, Y=Y, num_inducing=8, newton_iters=4)
+    opt = m.log_marginal_laplace()
+    opt.compile(optax.adam(0.05))
+    with pytest.raises(FloatingPointError, match="inducing points") as e:
+        opt.optimize(maxiter=10)
+    assert "n*k_var" in str(e.value)
+    assert "pairing rule" not in str(e.value)
