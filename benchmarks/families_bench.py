@@ -113,8 +113,7 @@ def main():
         rate(m.log_marginal_ep().compile(optax.adam(0.05)), sp_steps),
     ))
 
-    Xm3 = Xp[::3].copy()  # n ~ 3.3e4: inside the multiclass engine's
-    # f32 envelope (see multiclass_laplace_projected's docstring)
+    Xm3 = Xp[::3].copy()
     Lm3 = 2.5 * np.concatenate(
         [np.sin(Xm3 + s) for s in (0.0, 2.1, 4.2)], axis=1
     )
@@ -129,6 +128,31 @@ def main():
         "SparseGPMulticlass n=3e4 K=3 m=64, full-batch Laplace evidence",
         rate(m.log_marginal_laplace().compile(optax.adam(0.05)), sp_steps),
     ))
+
+    # the round-4 f32-wall workload, clean since the square-root (CholQR2)
+    # engine (round 5): full n=1e5, m=128 — each step is ~0.24 s of device
+    # time, so cap the scan chunk to stay under remote-execution budgets
+    Lm5 = 2.5 * np.concatenate(
+        [np.sin(Xp + s) for s in (0.0, 2.1, 4.2)], axis=1
+    )
+    Pm5 = np.exp(Lm5 - Lm5.max(1, keepdims=True))
+    Pm5 /= Pm5.sum(1, keepdims=True)
+    ym5 = (rng.uniform(size=(len(Xp), 1)) > Pm5.cumsum(1)[:, :2]).sum(
+        1
+    ).astype(np.int32)[:, None]
+    m = models.SparseGPMulticlass(seed=0, X=Xp, Y=ym5, num_classes=3,
+                                  num_inducing=128)
+    old_chunk = hb.settings.tpu.scan_chunk
+    hb.settings.tpu.scan_chunk = 50
+    try:
+        rows.append((
+            "SparseGPMulticlass n=1e5 K=3 m=128, full-batch sqrt-engine "
+            "evidence",
+            rate(m.log_marginal_laplace().compile(optax.adam(0.05)),
+                 max(sp_steps // 2, 100)),
+        ))
+    finally:
+        hb.settings.tpu.scan_chunk = old_chunk
 
     Yr = np.sin(Xp) + rng.normal(size=Xp.shape).astype(np.float32) * 0.2
     out = rng.choice(len(Xp), len(Xp) // 25, replace=False)

@@ -1,29 +1,29 @@
-"""Blocked Cholesky / triangular solve for LARGE single matrices (n >= ~1k).
+"""Blocked Cholesky / triangular solve for LARGE single matrices (n >= ~2k).
 
 The exact-gram evidence paths (`GPRMarginal`, `GPC`, dense Laplace/EP) are
 the library's one compute-bound family: their cost center is one [n, n]
 factorization plus the two [n, n]-RHS triangular solves reverse mode puts in
 the Cholesky backward (the reference's cost center too — one `tf.cholesky`,
 `/root/reference/Henbun/gp/kernels.py:93-101`). XLA's own Cholesky/trsm on
-TPU pay a generic while-loop + dynamic-slice panel pipeline; measured on v5e
-(docs/PERF.md §Roofline): chol 2.5 TF/s at n=2048, trsm 8.6 TF/s — percent-
-level MFU while the trailing updates are pure MXU work.
+TPU pay a generic while-loop + dynamic-slice panel pipeline at percent-level
+MFU (docs/PERF.md §Roofline) while the trailing updates are pure MXU work.
 
-The blocked algorithms here put every O(n^3) term into plain XLA matmuls
-(MXU at the measured 150 TF/s peak) and confine the serial substitution
-chains to 128-wide panels handled by the Pallas vectorized-batch kernels
-(`pallas_solve.tri_solve128_vbatched` — the RHS column blocks BECOME the
-batch axis, so one kernel invocation runs the whole panel's substitution
-chain once for all columns):
+Blocked right-looking algorithms with the O(n^3) terms as XLA matmuls and
+the serial substitution confined to `pallas_wide` wide-RHS kernels (one
+in-VMEM chain per 128-panel, all RHS columns vectorized on lanes):
 
-* `blocked_cholesky` — right-looking: XLA cholesky on the 128 diagonal
-  block (latency-floor at that size), Pallas wide-RHS panel solve, one MXU
-  syrk per step for the trailing update. The trailing matrix SHRINKS each
-  step (no full-size scatter updates — measured to cost ~20% when the
-  update wrote into the full [n, n] buffer instead).
+* `blocked_cholesky` — works in the UPPER-factor world so the SYMMETRY of
+  the input provides every panel transpose for free: the panel right-hand
+  side A21^T is the row slice T[:128, 128:] of the (symmetric) trailing
+  matrix, the factor rows assemble as U = L^T, and the single transpose
+  back to L happens once at the end. Trailing Schur updates contract the
+  sublane axis of the solved panel with itself — one MXU matmul per step
+  on the shrinking remainder.
 * `blocked_tri_solve` — forward (L X = B) or transposed (L^T X = B)
-  substitution over 128-row blocks: Pallas diagonal solves + one MXU GEMM
-  correction per step on the shrinking remainder.
+  substitution over 128-row blocks: wide-RHS diagonal solves + one MXU
+  GEMM correction per step. The transposed variant hoists ONE full
+  transpose of L outside the loop (per-step transposes measured 2x slower
+  than XLA's trsm).
 
 Static Python loops over blocks (n is static under jit), float32, TPU; on
 CPU (the test mesh) the panel solves fall back to XLA's solve_triangular so
@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from .._settings import settings
 
 _NB = 128
+_MAX_WIDE = 8192
 
 
 def _use_pallas_panels():
@@ -52,54 +53,59 @@ def _matmul(a, b):
     return jnp.matmul(a, b, precision=settings.tpu.matmul_precision)
 
 
-def _panel_lsolve(Ljj, Bwide, transpose):
-    """X [128, m] with Ljj X = Bwide (or Ljj^T X = Bwide): the panel's
-    substitution chain. On TPU the m columns are chunked into 128-wide
-    blocks that ride the Pallas vectorized-batch solve as its batch axis
-    (one in-VMEM chain for the whole panel); elsewhere XLA."""
+def _diag_solve(L128, Bwide, transpose):
+    """X [128, m] with L128 X = Bwide (or L128^T X = Bwide) for a LOWER
+    [128, 128] factor. On TPU the m columns chunk into 128-wide blocks that
+    ride the Pallas vectorized-batch solve as its batch axis — one in-VMEM
+    substitution chain for the whole panel. (A dedicated wide-RHS kernel
+    keeping all m columns in one [128, m] block was ALSO built and measured
+    (`ops/pallas_wide.py`): a wash at n<=2048 and 2x SLOWER at n=4096 than
+    this chunked layout — Mosaic handles the [B, 8, 128] batch tiles better
+    than 8 x m lane rows; docs/PERF.md §Roofline.) Elsewhere XLA."""
     m = Bwide.shape[-1]
     if _use_pallas_panels() and m % _NB == 0 and 0 < m // _NB <= 64:
         from .pallas_solve import tri_solve128_vbatched
 
         nc = m // _NB
         chunks = jnp.swapaxes(Bwide.reshape(_NB, nc, _NB), 0, 1)
-        Lb = jnp.broadcast_to(Ljj[None], (nc, _NB, _NB))
+        Lb = jnp.broadcast_to(L128[None], (nc, _NB, _NB))
         X = tri_solve128_vbatched(Lb, chunks, transpose=transpose)
         return jnp.swapaxes(X, 0, 1).reshape(_NB, m)
     return jax.scipy.linalg.solve_triangular(
-        Ljj, Bwide, lower=True, trans=1 if transpose else 0
+        L128, Bwide, lower=True, trans=1 if transpose else 0
     )
 
 
 def blocked_cholesky(A):
-    """Lower Cholesky of a single [n, n] SPD float32 matrix, right-looking
-    over 128-wide panels; every trailing (Schur) update is one MXU matmul
-    on the shrinking remainder. n must be a multiple of 128 (the dispatch
-    call sites guarantee it or fall back to XLA). NaN propagates from a
-    failed diagonal block exactly like `jnp.linalg.cholesky`, so
-    `safe_cholesky`'s escalation composes."""
+    """Lower Cholesky of a single [n, n] SPD float32 matrix (n a multiple
+    of 128; the dispatch call sites guarantee it or fall back to XLA). NaN
+    propagates from a failed diagonal block exactly like
+    `jnp.linalg.cholesky`, so `safe_cholesky`'s escalation composes."""
     n = A.shape[-1]
     nblk = n // _NB
     T = A
-    cols = []
+    rows = []
     for j in range(nblk):
         j0 = j * _NB
         Ljj = jnp.linalg.cholesky(T[:_NB, :_NB])
+        Ujj = jnp.swapaxes(Ljj, -1, -2)
         if j < nblk - 1:
-            A21 = T[_NB:, :_NB]  # [R, 128]
-            # L21 = A21 Ljj^-T  <=>  L21^T = Ljj^-1 A21^T
-            L21T = _panel_lsolve(Ljj, jnp.swapaxes(A21, -1, -2), False)
-            L21 = jnp.swapaxes(L21T, -1, -2)
-            T = T[_NB:, _NB:] - _matmul(L21, L21T)
-            col = jnp.concatenate(
-                [jnp.zeros((j0, _NB), A.dtype), Ljj, L21], axis=0
+            # symmetry: A21^T is the row slice T[:128, 128:]
+            Y = _diag_solve(Ljj, T[:_NB, _NB:], False)  # L21^T [128, R]
+            # Schur: T22 - L21 L21^T, contracting the sublane axis of Y
+            T = T[_NB:, _NB:] - jax.lax.dot_general(
+                Y, Y, (((0,), (0,)), ((), ())),
+                precision=settings.tpu.matmul_precision,
+            )
+            row = jnp.concatenate(
+                [jnp.zeros((_NB, j0), A.dtype), Ujj, Y], axis=1
             )
         else:
-            col = jnp.concatenate(
-                [jnp.zeros((j0, _NB), A.dtype), Ljj], axis=0
+            row = jnp.concatenate(
+                [jnp.zeros((_NB, j0), A.dtype), Ujj], axis=1
             )
-        cols.append(col)
-    return jnp.concatenate(cols, axis=1)
+        rows.append(row)
+    return jnp.swapaxes(jnp.concatenate(rows, axis=0), -1, -2)
 
 
 def blocked_tri_solve(L, B, transpose=False):
@@ -113,20 +119,19 @@ def blocked_tri_solve(L, B, transpose=False):
         Bcur = B
         for j in range(nblk):
             j0, j1 = j * _NB, (j + 1) * _NB
-            Xj = _panel_lsolve(L[j0:j1, j0:j1], Bcur[:_NB], False)
+            Xj = _diag_solve(L[j0:j1, j0:j1], Bcur[:_NB], False)
             outs[j] = Xj
             if j < nblk - 1:
                 Bcur = Bcur[_NB:] - _matmul(L[j1:, j0:j1], Xj)
     else:
-        # transpose ONCE: per-step transposes of growing L slices measured
-        # 2x slower than XLA's trsm (relayout per block step)
-        LT = jnp.swapaxes(L, -1, -2)
+        # hoist the ONE transpose; all per-step reads are then natural
+        # row/column slices of the upper factor
+        UT = jnp.swapaxes(L, -1, -2)
         Bcur = B
         for j in range(nblk - 1, -1, -1):
             j0, j1 = j * _NB, (j + 1) * _NB
-            Xj = _panel_lsolve(L[j0:j1, j0:j1], Bcur[j0:], True)
+            Xj = _diag_solve(L[j0:j1, j0:j1], Bcur[j0:], True)
             outs[j] = Xj
             if j > 0:
-                # (L^T)[k<j, j] X_j = LT[:j0, j0:j1] X_j
-                Bcur = Bcur[:j0] - _matmul(LT[:j0, j0:j1], Xj)
+                Bcur = Bcur[:j0] - _matmul(UT[:j0, j0:j1], Xj)
     return jnp.concatenate(outs, axis=0)
