@@ -168,33 +168,47 @@ def main():
     # the GPRMarginal hot path verbatim: RBF gram -> safe-free cholesky ->
     # solve + logdet, forward + reverse. Dominant kernel: chol n^3/3 fwd +
     # ~2 trsm in the backward.
-    from henbun_tpu.ops.linalg import tri_solve
+    from henbun_tpu.ops.linalg import safe_cholesky, tri_solve
 
-    for ngram in (512, 1024):
+    # n >= 2048 rows run the LIBRARY path (safe_cholesky dispatches the
+    # forward factorization to ops/blocked.py's blocked Cholesky there);
+    # the (xla chol) rows pin the undipatched baseline for the ratio
+    for ngram, variants in (
+        (512, ("lib",)),
+        (1024, ("lib",)),
+        (2048, ("lib", "xla")),
+        (4096, ("lib", "xla")),
+    ):
         X = jax.random.uniform(key, (ngram, 1), jnp.float32) * 6.0
         y = jnp.sin(X[:, 0]) + 0.1 * jax.random.normal(key, (ngram,))
 
-        def logml(ell, X=X, y=y, ngram=ngram):
-            d2 = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, -1) / ell**2
-            K = jnp.exp(-0.5 * d2) + 1e-4 * jnp.eye(ngram)
-            L = jnp.linalg.cholesky(K)
-            a = tri_solve(L, y[:, None])
-            return -0.5 * jnp.sum(a * a) - jnp.sum(
-                jnp.log(jnp.diagonal(L))
-            )
+        for variant in variants:
+            def logml(ell, X=X, y=y, ngram=ngram, variant=variant):
+                d2 = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, -1) / ell**2
+                K = jnp.exp(-0.5 * d2) + 1e-4 * jnp.eye(ngram)
+                L = (
+                    safe_cholesky(K, 0.0)
+                    if variant == "lib"
+                    else jnp.linalg.cholesky(K)
+                )
+                a = tri_solve(L, y[:, None])
+                return -0.5 * jnp.sum(a * a) - jnp.sum(
+                    jnp.log(jnp.diagonal(L))
+                )
 
-        grad = jax.grad(logml)
-        fl = xla_flops(lambda e: (logml(e), grad(e)), jnp.float32(1.0))
+            grad = jax.grad(logml)
+            fl = xla_flops(lambda e: (logml(e), grad(e)), jnp.float32(1.0))
 
-        def step(c):
-            v, g = logml(c), grad(c)
-            return c + 1e-30 * (v + g)
+            def step(c, logml=logml, grad=grad):
+                v, g = logml(c), grad(c)
+                return c + 1e-30 * (v + g)
 
-        sec = scan_rate(step, jnp.float32(1.0), max(args.iters // 4, 200))
-        analytic = ngram**3 / 3.0 * 3.0  # fwd chol + ~2 chol-sized bwd
-        row("exact-gram evidence n=%d fwd+bwd" % ngram,
-            fl if fl else analytic, sec,
-            note="(xla count)" if fl else "(analytic est)")
+            iters = max(args.iters // 4 // max(ngram // 1024, 1) ** 2, 8)
+            sec = scan_rate(step, jnp.float32(1.0), iters)
+            analytic = ngram**3 / 3.0 * 3.0  # fwd chol + ~2 chol-sized bwd
+            row("exact-gram evidence n=%d fwd+bwd (%s)" % (ngram, variant),
+                fl if fl else analytic, sec,
+                note="(xla count)" if fl else "(analytic est)")
 
     # ---- SVGP m=128 analytic ELBO step ------------------------------------
     m_ind = 128

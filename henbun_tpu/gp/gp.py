@@ -106,11 +106,23 @@ class SparseGP(GP):
     (cf. gp.py:53-192). Posterior: N(Knm Lm^-T q_mu,
     (Knn - Knm Kmm^-1 Kmn) + (Knm Lm^-T q_sqrt)^2)."""
 
-    def __init__(self, kern, z, collections=None):
-        """z: [m, d] np.array of initial inducing point locations."""
+    def __init__(self, kern, z, collections=None, z_scale=None):
+        """z: [m, d] np.array of initial inducing point locations.
+
+        z_scale: optional free-space rescaling (`transforms.Scale`) so a
+        TRAINABLE z moves ~lr * z_scale per Adam step instead of ~lr — the
+        evidence families pass a spacing-derived scale under train_z=True
+        (an unscaled z random-walks over its own inter-point spacing at
+        typical learning rates; docs/PERF.md §train_z)."""
         GP.__init__(self, kern)
         collections = collections if collections is not None else [graph_key.VARIABLES]
-        self.z = Variable(shape=z.shape, collections=collections)
+        from ..transforms import Scale
+
+        self.z = Variable(
+            shape=z.shape,
+            collections=collections,
+            transform=None if z_scale is None else Scale(z_scale),
+        )
         self.z = z  # deferred assign of the initial value
         self.m = len(z)
 

@@ -80,32 +80,38 @@ def blocked_cholesky(A):
     """Lower Cholesky of a single [n, n] SPD float32 matrix (n a multiple
     of 128; the dispatch call sites guarantee it or fall back to XLA). NaN
     propagates from a failed diagonal block exactly like
-    `jnp.linalg.cholesky`, so `safe_cholesky`'s escalation composes."""
+    `jnp.linalg.cholesky`, so `safe_cholesky`'s escalation composes.
+
+    Structure notes (both alternatives measured on v5e, docs/PERF.md
+    §Roofline): the panel right-hand side A21^T reads as the ROW slice
+    T[:128, 128:] of the symmetric trailing matrix (free — no transpose);
+    the Schur update is a plain [R, 128] @ [128, R] matmul after one
+    explicit panel transpose, and the factor assembles column-block-wise.
+    An 'upper-world' variant that avoided the per-panel transpose by
+    contracting dim 0 of the [128, R] panel with itself and assembling U
+    rows measured 1.8x SLOWER at n=4096 (the contract-dim-0 dot_general /
+    row assembly lower badly); don't switch it back."""
     n = A.shape[-1]
     nblk = n // _NB
     T = A
-    rows = []
+    cols = []
     for j in range(nblk):
         j0 = j * _NB
         Ljj = jnp.linalg.cholesky(T[:_NB, :_NB])
-        Ujj = jnp.swapaxes(Ljj, -1, -2)
         if j < nblk - 1:
             # symmetry: A21^T is the row slice T[:128, 128:]
-            Y = _diag_solve(Ljj, T[:_NB, _NB:], False)  # L21^T [128, R]
-            # Schur: T22 - L21 L21^T, contracting the sublane axis of Y
-            T = T[_NB:, _NB:] - jax.lax.dot_general(
-                Y, Y, (((0,), (0,)), ((), ())),
-                precision=settings.tpu.matmul_precision,
-            )
-            row = jnp.concatenate(
-                [jnp.zeros((_NB, j0), A.dtype), Ujj, Y], axis=1
+            L21T = _diag_solve(Ljj, T[:_NB, _NB:], False)  # [128, R]
+            L21 = jnp.swapaxes(L21T, -1, -2)  # [R, 128]
+            T = T[_NB:, _NB:] - _matmul(L21, L21T)
+            col = jnp.concatenate(
+                [jnp.zeros((j0, _NB), A.dtype), Ljj, L21], axis=0
             )
         else:
-            row = jnp.concatenate(
-                [jnp.zeros((_NB, j0), A.dtype), Ujj], axis=1
+            col = jnp.concatenate(
+                [jnp.zeros((j0, _NB), A.dtype), Ljj], axis=0
             )
-        rows.append(row)
-    return jnp.swapaxes(jnp.concatenate(rows, axis=0), -1, -2)
+        cols.append(col)
+    return jnp.concatenate(cols, axis=1)
 
 
 def blocked_tri_solve(L, B, transpose=False):

@@ -141,6 +141,37 @@ class Logistic(Transform):
         return "[" + str(self.a) + ", " + str(self.b) + "]"
 
 
+class Scale(Transform):
+    """y = a * x: a fixed linear rescaling of the free space.
+
+    Used to give a parameter an EFFECTIVE learning-rate under adaptive
+    optimizers: Adam moves every free coordinate ~lr per step regardless of
+    gradient magnitude, so a parameter whose natural length scale is much
+    smaller than its siblings' (inducing-point locations vs kernel
+    log-hyperparameters — z spacings are ~0.04 while lr is ~0.05) random-
+    walks destructively. Scale(a) makes one optimizer step move y by
+    lr * a instead of lr. Measured motivation in docs/PERF.md §train_z."""
+
+    def __init__(self, a):
+        self.a = float(a)
+        assert self.a > 0
+
+    def forward(self, x):
+        return np.asarray(x) * self.a
+
+    def backward(self, y):
+        return np.asarray(y) / self.a
+
+    def tf_forward(self, x):
+        return x * self.a
+
+    def tf_log_jacobian(self, x):
+        return jnp.full((1,), x.size * np.log(self.a), _float_type())
+
+    def __str__(self):
+        return "*%g" % self.a
+
+
 class LowerTriangular(Transform):
     """Free vector of length n(n+1)/2 <-> [n, n] lower-triangular matrix.
 
