@@ -417,7 +417,7 @@ def _softmax_G(A, Pi):
     )
 
 
-def _sqrt_gram_factor(G, jitter=1e-6):
+def _sqrt_gram_factor(G, jitter=1e-4):
     """Upper-triangular R with R^T R = I + G^T G, at HOUSEHOLDER-QR accuracy
     but built from MXU matmuls + two tiny p x p Cholesky factorizations:
     shifted CholeskyQR2 (Fukaya et al., "Shifted Cholesky QR for computing
@@ -432,7 +432,16 @@ def _sqrt_gram_factor(G, jitter=1e-6):
     K=3 on v5e vs a float64 oracle: logdet err 1.3e-3 (the floored f32
     normal-matrix Cholesky is off by 1.3), H-solve rel err 4e-6, and it
     runs ~7x faster than XLA's Householder QR of the stacked [nK+Km, Km]
-    matrix. diag(R) > 0 by construction."""
+    matrix. diag(R) > 0 by construction.
+
+    The shift base is 1e-4 RELATIVE (not the library's usual 1e-6):
+    because it cancels in pass 2, a generous shift costs nothing — and at
+    n*k_var ~ 1e7 scales the TPU's f32 matmul accumulation rounding of B0
+    exceeds a 1e-6-relative floor (~0.3 vs 0.17 at lambda_max 1.7e5: pass
+    1 went indefinite ON TPU while the identical trace was clean on CPU,
+    and safe_cholesky's absolute escalation ladder cannot reach that
+    scale). Pass 2's near-identity B1 keeps min eig ~ 1/(1+shift) >>
+    rounding, so the larger shift stays safe."""
     p = G.shape[-1]
     I = jnp.eye(p, dtype=G.dtype)
     B0 = I + matmul_hp(jnp.swapaxes(G, -1, -2), G)
@@ -612,7 +621,7 @@ def multiclass_laplace_projected(A, y_idx, n_classes, newton_iters=15,
 
 
 def multiclass_laplace_joint_marginals(A, res, Astar, corr_diag,
-                                       jitter=1e-6):
+                                       jitter=1e-4):
     """Per-point JOINT class-logit Gaussians at new inputs under the
     multiclass Laplace posterior: means [n*, K] and covariances
     [n*, K, K] (cov(F*_c, F*_c') = Astar_j [H^-1]_{cc'} Astar_j^T plus the
