@@ -138,30 +138,20 @@ def fill_triangular_inverse(mat):
 
 @jax.custom_batching.custom_vmap
 def _cholesky_dispatch(A):
-    """Factorization primitive behind safe_cholesky. Three regimes:
+    """Factorization primitive behind safe_cholesky: single matrices use
+    XLA's Cholesky (measured at the latency floor for n <= 128,
+    docs/PERF.md); BATCHED calls — i.e. this function under vmap, which is
+    what a BatchedOptimizer trace produces — dispatch to the Pallas
+    vectorized-batch kernel when `[tpu] use_pallas` is on (measured 2.1-2.6x
+    faster than XLA's batched factorization at B=16, n=40-128 on v5e).
 
-    * single small/medium matrices — XLA's Cholesky (measured at the
-      latency floor for n <= 128, docs/PERF.md);
-    * single LARGE matrices (n >= 2048, multiple of 128, f32, TPU,
-      `[tpu] use_pallas`) — the blocked right-looking factorization
-      (`ops/blocked.py`: MXU Schur updates + Pallas panel solves; measured
-      1.12-1.45x over XLA's Cholesky at n=2048-4096 on v5e, the exact-gram
-      evidence regime);
-    * BATCHED calls — this function under vmap, which is what a
-      BatchedOptimizer trace produces — the Pallas vectorized-batch kernel
-      (2.1-2.6x over XLA's batched factorization at B=16, n=40-128).
-    """
-    if (
-        A.ndim == 2
-        and A.shape[-1] >= 2048
-        and A.shape[-1] % 128 == 0
-        and A.dtype == jnp.float32
-        and bool(settings.tpu.use_pallas)
-        and jax.devices()[0].platform == "tpu"
-    ):
-        from .blocked import blocked_cholesky
-
-        return blocked_cholesky(A)
+    Large SINGLE matrices deliberately stay on XLA: a blocked
+    right-looking alternative (`ops/blocked.py`, Pallas panel solves + MXU
+    Schur updates) was built and measured in round 5 — its chol ratio vs
+    XLA scattered 0.73x-1.45x across v5e sessions at n=4096 and the
+    end-to-end exact-gram evidence step never beat the XLA path, so the
+    dispatch was KILLED (docs/PERF.md §Roofline has the full numbers; the
+    module and its tests remain for future attempts)."""
     return jnp.linalg.cholesky(A)
 
 
