@@ -170,9 +170,11 @@ def main():
     # ~2 trsm in the backward.
     from henbun_tpu.ops.linalg import safe_cholesky, tri_solve
 
-    # n >= 2048 rows run the LIBRARY path (safe_cholesky dispatches the
-    # forward factorization to ops/blocked.py's blocked Cholesky there);
-    # the (xla chol) rows pin the undipatched baseline for the ratio
+    # "lib" rows run safe_cholesky (the library path: custom-VJP backward,
+    # Murray's algorithm via the tri-solve dispatches); "xla" rows run
+    # jnp.linalg.cholesky with XLA's native factorization gradient. At
+    # n >= 2048 the difference isolates the custom backward's cost (the
+    # blocked forward dispatch was measured and KILLED, PERF.md §Roofline)
     for ngram, variants in (
         (512, ("lib",)),
         (1024, ("lib",)),
