@@ -195,10 +195,10 @@ def _newton_mode_fwd(loglik_conv, newton_iters, jitter, Lk, consts):
     return v, (Lk, consts, v)
 
 
-def _newton_mode_bwd(loglik_conv, newton_iters, jitter, res, vbar):
-    """Implicit-function-theorem VJP at the mode: dF/dv = -(I + Lk^T W Lk)
-    = -B with the TRUE curvature W, so vbar^T dv*/da = w^T dF/da with
-    B w = vbar (B symmetric PD at a genuine mode)."""
+def _ift_bwd_core(loglik_conv, jitter, res, vbar):
+    """Shared implicit-function-theorem VJP at the mode: dF/dv =
+    -(I + Lk^T W Lk) = -B with the TRUE curvature W, so vbar^T dv*/da =
+    w^T dF/da with B w = vbar (B symmetric PD at a genuine mode)."""
     from ..ops.linalg import _tri_solve_T_dispatch, tri_solve
 
     Lk, consts, v = res
@@ -221,11 +221,115 @@ def _newton_mode_bwd(loglik_conv, newton_iters, jitter, res, vbar):
     return Lk_bar, consts_bar
 
 
+def _newton_mode_bwd(loglik_conv, newton_iters, jitter, res, vbar):
+    return _ift_bwd_core(loglik_conv, jitter, res, vbar)
+
+
 _newton_mode_implicit.defvjp(_newton_mode_fwd, _newton_mode_bwd)
 
 
+# ------------------- fused batched Newton forward (ops/pallas_newton.py)
+def _fused_loglik(tag, df, y, var):
+    """The XLA-side likelihood matching the in-kernel closed forms."""
+    if tag == "bernoulli_logit":
+        return lambda f: (
+            y * jax.nn.log_sigmoid(f) + (1.0 - y) * jax.nn.log_sigmoid(-f)
+        )
+    if tag == "student_t":
+        from .. import densities
+
+        return lambda f: densities.student_t(y, f, var, df)
+    raise ValueError("unsupported fused likelihood %r" % (tag,))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_newton_fn(tag, df, iters, jitter):
+    """The mode-finder with a custom batching rule: unbatched calls ARE
+    `_newton_iterations` (bit-identical to the generic path); a BATCHED
+    call — a BatchedOptimizer trace — dispatches the whole 15-iteration
+    Newton loop to the fused Pallas kernel when `[tpu] use_pallas` is on
+    (the batched forward's ~7 small kernels per DEPENDENT iteration are
+    the measured cost center, docs/PERF.md §Laplace)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(Lk, y, var):
+        return _newton_iterations(
+            _fused_loglik(tag, df, y, var), Lk, iters, jitter
+        )
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, Lk, y, var):
+        lb, yb, vb = in_batched
+        if not lb:
+            Lk = jnp.broadcast_to(Lk[None], (axis_size,) + Lk.shape)
+        if not yb:
+            y = jnp.broadcast_to(y[None], (axis_size,) + y.shape)
+        if not vb:
+            var = jnp.broadcast_to(var[None], (axis_size,) + var.shape)
+        use_pallas = (
+            bool(settings.tpu.use_pallas)
+            and Lk.ndim == 3
+            and Lk.dtype == jnp.float32
+            and Lk.shape[-2] <= 128
+            and Lk.shape[-1] <= 128
+            and axis_size * 128 * 128 * 4 * 4 <= 12 * 2**20
+            and jax.devices()[0].platform == "tpu"
+        )
+        if use_pallas:
+            from ..ops.pallas_newton import newton_mode_vbatched
+
+            return (
+                newton_mode_vbatched(
+                    Lk, y, var.reshape(axis_size, 1), tag, df=df,
+                    iters=iters, jitter=jitter,
+                ),
+                True,
+            )
+        return (
+            jax.vmap(
+                lambda a, b, c: _newton_iterations(
+                    _fused_loglik(tag, df, b, c), a, iters, jitter
+                )
+            )(Lk, y, var),
+            True,
+        )
+
+    return fn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _newton_mode_implicit_fused(loglik_conv, newton_iters, jitter, spec, Lk,
+                                consts, y, var):
+    """Fused-forward twin of `_newton_mode_implicit`: the mode comes from
+    the likelihood-specialized kernel path, the IFT backward is the SAME
+    `_ift_bwd_core` over (loglik_conv, consts) — implicit differentiation
+    does not care how the fixed point was found. y/var ride along only for
+    the forward; their gradients flow through `consts` (the closure
+    captured the same arrays), so their cotangents here are None."""
+    tag, df = spec
+    return _fused_newton_fn(tag, df, newton_iters, jitter)(Lk, y, var)
+
+
+def _newton_mode_fused_fwd(loglik_conv, newton_iters, jitter, spec, Lk,
+                           consts, y, var):
+    v = _newton_mode_implicit_fused(
+        loglik_conv, newton_iters, jitter, spec, Lk, consts, y, var
+    )
+    return v, (Lk, consts, v)
+
+
+def _newton_mode_fused_bwd(loglik_conv, newton_iters, jitter, spec, res,
+                           vbar):
+    Lk_bar, consts_bar = _ift_bwd_core(loglik_conv, jitter, res, vbar)
+    return Lk_bar, consts_bar, None, None
+
+
+_newton_mode_implicit_fused.defvjp(_newton_mode_fused_fwd,
+                                   _newton_mode_fused_bwd)
+
+
 def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
-                     implicit_diff=True):
+                     implicit_diff=True, fused=None):
     """Laplace approximation of the latent posterior for f = Lk v.
 
     loglik_fn: f [n, 1] -> elementwise log-likelihood [n, 1] (twice
@@ -253,6 +357,15 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
     curvature W; for non-log-concave likelihoods B is only guaranteed PSD at
     a genuine mode, so a non-finite `log_marginal` together with a large
     `grad_norm` means Newton did not converge — check both diagnostics.
+
+    fused: optional ``(tag, params)`` declaring the likelihood's closed
+    form — ``("bernoulli_logit", {"y": Y})`` or
+    ``("student_t", {"y": Y, "var": var, "df": 3.0})`` — so a BATCHED
+    trace (BatchedOptimizer) can run the whole Newton forward as ONE
+    Pallas kernel (`ops/pallas_newton.py`). `loglik_fn` stays the source
+    of truth for the evidence and the IFT backward; unbatched traces are
+    unchanged. The declared form must match `loglik_fn` (a mismatched tag
+    converges to the WRONG mode).
     """
     if implicit_diff:
         # shape[-2], not [-1]: rectangular projections (inducing-point
@@ -260,9 +373,21 @@ def laplace_whitened(loglik_fn, Lk, newton_iters=15, jitter=1e-6,
         loglik_conv, consts = jax.closure_convert(
             loglik_fn, jnp.zeros((Lk.shape[-2], 1), Lk.dtype)
         )
-        v_star = _newton_mode_implicit(
-            loglik_conv, int(newton_iters), float(jitter), Lk, tuple(consts)
-        )
+        if fused is not None:
+            tag, p = fused
+            var = p.get("var")
+            if var is None:
+                var = jnp.ones((1,), Lk.dtype)
+            v_star = _newton_mode_implicit_fused(
+                loglik_conv, int(newton_iters), float(jitter),
+                (tag, float(p.get("df", 0.0))),
+                Lk, tuple(consts), p["y"], var,
+            )
+        else:
+            v_star = _newton_mode_implicit(
+                loglik_conv, int(newton_iters), float(jitter), Lk,
+                tuple(consts)
+            )
     else:
         v_star = _newton_iterations(loglik_fn, Lk, newton_iters, jitter)
 

@@ -58,6 +58,10 @@ class GPC(hb.model.Model):
         Y = self.Y
         return lambda f: _bernoulli_logit(Y, f)
 
+    def _fused(self):
+        """Closed-form spec for the fused batched Newton kernel."""
+        return ("bernoulli_logit", {"y": self.Y})
+
     def _Lk(self):
         return self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
 
@@ -67,14 +71,17 @@ class GPC(hb.model.Model):
         through the unrolled Newton loop."""
         from henbun_tpu.inference.laplace import laplace_whitened
 
-        return laplace_whitened(self._loglik(), self._Lk()).log_marginal
+        return laplace_whitened(
+            self._loglik(), self._Lk(), fused=self._fused()
+        ).log_marginal
 
     def laplace(self):
         """Full :class:`~henbun_tpu.inference.laplace.LaplaceResult` at the
         current hyperparameters (evaluate with ``m.run(GPC.laplace)``)."""
         from henbun_tpu.inference.laplace import laplace_whitened
 
-        return laplace_whitened(self._loglik(), self._Lk())
+        return laplace_whitened(self._loglik(), self._Lk(),
+                                fused=self._fused())
 
     def predict_p(self, x_new, deg=20):
         """Posterior predictive p(y=1 | x_new) [n*, 1], deterministic:
@@ -89,7 +96,7 @@ class GPC(hb.model.Model):
 
         loglik = self._loglik()
         Lk = self._Lk()
-        res = laplace_whitened(loglik, Lk)
+        res = laplace_whitened(loglik, Lk, fused=self._fused())
         Ks = self.kern.K(self.X, x_new) * self.k_var
         kdiag = self.kern.Kdiag(x_new) * self.k_var[0]
         mean, var = laplace_latent_marginals(loglik, Lk, res, Ks, kdiag)
@@ -199,6 +206,10 @@ class SparseGPC(hb.model.Model):
         y = self.y
         return lambda f: _bernoulli_logit(y, f)
 
+    def _fused(self):
+        """Closed-form spec for the fused batched Newton kernel."""
+        return ("bernoulli_logit", {"y": self.y})
+
     def _A(self, x):
         """The projection sqrt(k_var) (Lm^-1 K(z, x))^T: [B, m]."""
         LnT = self.gp._effective_LT(x)  # [m, B]
@@ -215,7 +226,7 @@ class SparseGPC(hb.model.Model):
 
         return laplace_whitened(
             self._loglik(), self._A(self.x),
-            newton_iters=self._newton_iters,
+            newton_iters=self._newton_iters, fused=self._fused(),
         ).log_marginal - z_guard(self)
 
     def laplace(self):
@@ -226,7 +237,7 @@ class SparseGPC(hb.model.Model):
 
         return laplace_whitened(
             self._loglik(), self._A(self.x),
-            newton_iters=self._newton_iters,
+            newton_iters=self._newton_iters, fused=self._fused(),
         )
 
     def predict_f_marginals(self, x_new):
@@ -240,7 +251,8 @@ class SparseGPC(hb.model.Model):
         loglik = self._loglik()
         A = self._A(self.x)
         res = laplace_whitened(
-            loglik, A, newton_iters=self._newton_iters
+            loglik, A, newton_iters=self._newton_iters,
+            fused=self._fused(),
         )
         x_new = jnp.asarray(x_new)
         LsT = self.gp._effective_LT(x_new)  # [m, n*]
@@ -294,7 +306,7 @@ class SparseGPC(hb.model.Model):
 
         ev = laplace_whitened(
             self._loglik(), self._A(self.x),
-            newton_iters=self._newton_iters,
+            newton_iters=self._newton_iters, fused=self._fused(),
         ).log_marginal
         return ev - z_guard(self) + self._hyperprior()
 

@@ -113,7 +113,8 @@ class GPR(hb.model.Model):
 
         Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
         res = laplace_whitened(
-            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk,
+            fused=("student_t", {"y": self.Y, "var": self.var, "df": 3.0}),
         )
         return res.log_marginal
 
@@ -157,7 +158,8 @@ class GPR(hb.model.Model):
 
         Lk = self.kern.Cholesky(self.X) * jnp.sqrt(self.k_var)
         return laplace_whitened(
-            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk
+            lambda f: densities.student_t(self.Y, f, self.var, 3.0), Lk,
+            fused=("student_t", {"y": self.Y, "var": self.var, "df": 3.0}),
         )
 
     def predict_f_laplace(self, x_new):
@@ -324,6 +326,11 @@ class SparseGPRobust(hb.model.Model):
         y, var, df = self.y, self.var, self._df
         return lambda f: densities.student_t(y, f, var, df)
 
+    def _fused(self):
+        """Closed-form spec so BATCHED traces take the fused Newton
+        kernel (ops/pallas_newton.py); must mirror `_loglik`."""
+        return ("student_t", {"y": self.y, "var": self.var, "df": self._df})
+
     def _A(self, x):
         LnT = self.gp._effective_LT(x)  # [m, B]
         return jnp.swapaxes(LnT, -1, -2) * jnp.sqrt(self.k_var)
@@ -337,7 +344,7 @@ class SparseGPRobust(hb.model.Model):
 
         return laplace_whitened(
             self._loglik(), self._A(self.x),
-            newton_iters=self._newton_iters,
+            newton_iters=self._newton_iters, fused=self._fused(),
         ).log_marginal - z_guard(self)
 
     @hb.AutoOptimize()
@@ -386,7 +393,7 @@ class SparseGPRobust(hb.model.Model):
 
         ev = laplace_whitened(
             self._loglik(), self._A(self.x),
-            newton_iters=self._newton_iters,
+            newton_iters=self._newton_iters, fused=self._fused(),
         ).log_marginal
         return ev - z_guard(self) + self._hyperprior()
 
