@@ -43,6 +43,7 @@ class _LaplaceGPR(models.GPR):
 
     implicit = True
     engine = "laplace"
+    fused = False
 
     @hb.AutoOptimize()
     def evidence(self):
@@ -57,7 +58,9 @@ class _LaplaceGPR(models.GPR):
         from henbun_tpu.inference.laplace import laplace_whitened
 
         return laplace_whitened(
-            loglik, Lk, implicit_diff=type(self).implicit
+            loglik, Lk, implicit_diff=type(self).implicit,
+            fused=("student_t", {"y": self.Y, "var": self.var, "df": 3.0})
+            if type(self).fused else None,
         ).log_marginal
 
 
@@ -83,6 +86,10 @@ def main(argv=None):
                          "60-sweep damped parallel EP (stationarity "
                          "gradients — sites stop-gradient'd at the fixed "
                          "point)")
+    ap.add_argument("--fused", action="store_true",
+                    help="run the batched Newton forward as one Pallas "
+                         "kernel (ops/pallas_newton.py; laplace+implicit "
+                         "only)")
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable [tpu] use_pallas (default-on since round 3)")
     args = ap.parse_args(argv)
@@ -90,6 +97,7 @@ def main(argv=None):
         hb.settings.tpu.use_pallas = False
     _LaplaceGPR.implicit = not args.unrolled
     _LaplaceGPR.engine = args.engine
+    _LaplaceGPR.fused = bool(args.fused)
 
     try:
         jax.config.update(

@@ -168,7 +168,7 @@ class SparseGPC(hb.model.Model):
     """
 
     def setUp(self, X, Y, num_inducing=128, kern=None, newton_iters=15,
-              train_z=False, z_penalty=None):
+              train_z=False, z_penalty=None, z_init=None):
         import numpy as np
 
         from ._zguard import setup_z_guard
@@ -177,9 +177,16 @@ class SparseGPC(hb.model.Model):
         self.y = hb.MinibatchData(Y)
         self.n_data = X.shape[0]
         self._newton_iters = int(newton_iters)
-        z = np.quantile(
-            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
-        ).astype(np.float32)
+        if z_init is not None:
+            # explicit initial layout (the reference takes z as a plain
+            # constructor argument, gp.py:86-97); the barrier onset and
+            # the train_z free-space scale derive from THIS layout
+            z = np.asarray(z_init, np.float32)
+        else:
+            z = np.quantile(
+                np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)),
+                axis=0,
+            ).astype(np.float32)
         # z is FROZEN by default in the evidence families: evidence training
         # drives neighboring inducing points into collision (measured on the
         # multiclass sibling at n=1e5, m=128, Adam 0.05: min spacing 0.047
@@ -377,7 +384,7 @@ class SparseGPMulticlass(hb.model.Model):
     conditioned and run n=1e5 fine)."""
 
     def setUp(self, X, Y, num_classes, num_inducing=64, kern=None,
-              newton_iters=15, train_z=False, z_penalty=None):
+              newton_iters=15, train_z=False, z_penalty=None, z_init=None):
         import numpy as np
 
         from ._zguard import setup_z_guard
@@ -387,9 +394,16 @@ class SparseGPMulticlass(hb.model.Model):
         self.x = hb.MinibatchData(X)
         self.y = hb.MinibatchData(np.asarray(Y, np.int32))
         self.n_data = X.shape[0]
-        z = np.quantile(
-            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
-        ).astype(np.float32)
+        if z_init is not None:
+            # explicit initial layout (the reference takes z as a plain
+            # constructor argument, gp.py:86-97); the barrier onset and
+            # the train_z free-space scale derive from THIS layout
+            z = np.asarray(z_init, np.float32)
+        else:
+            z = np.quantile(
+                np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)),
+                axis=0,
+            ).astype(np.float32)
         # frozen z by default — see SparseGPC.setUp (the collision was
         # measured on THIS family); train_z=True opts in under the
         # collision barrier

@@ -295,7 +295,7 @@ class SparseGPRobust(hb.model.Model):
     """
 
     def setUp(self, X, Y, num_inducing=64, kern=None, newton_iters=15,
-              df=3.0, train_z=False, z_penalty=None):
+              df=3.0, train_z=False, z_penalty=None, z_init=None):
         from ._zguard import setup_z_guard
 
         self.x = hb.MinibatchData(X)
@@ -303,9 +303,16 @@ class SparseGPRobust(hb.model.Model):
         self.n_data = X.shape[0]
         self._newton_iters = int(newton_iters)
         self._df = float(df)
-        z = np.quantile(
-            np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)), axis=0
-        ).astype(np.float32)
+        if z_init is not None:
+            # explicit initial layout (the reference takes z as a plain
+            # constructor argument, gp.py:86-97); the barrier onset and
+            # the train_z free-space scale derive from THIS layout
+            z = np.asarray(z_init, np.float32)
+        else:
+            z = np.quantile(
+                np.asarray(X), np.linspace(0.0, 1.0, int(num_inducing)),
+                axis=0,
+            ).astype(np.float32)
         # frozen z by default — see SparseGPC.setUp (inducing-point
         # collision under evidence training); train_z=True opts in under
         # the collision barrier
