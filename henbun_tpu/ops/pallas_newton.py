@@ -247,13 +247,21 @@ def _newton_kernel(n, m, iters, tag, df, jitter, lk_ref, yT_ref, var_ref,
             jnp.where(dmask > 0, ll_t, 0.0), axis=2, keepdims=True
         ) - 0.5 * jnp.sum(Vt * Vt, axis=2, keepdims=True)  # [B, 4, 1]
         tie_tol = 1e-5 * (1.0 + jnp.abs(psi0))
+        # candidate extraction by MASKED REDUCE, not size-1 slices:
+        # psis[:, i:i+1, :] at a NON-ZERO sublane offset crashes Mosaic's
+        # LLO lowering on v5e (`Check failed: d >> 32 == 0 (-1 vs 0)`,
+        # lower_to_llo.cc:1093 — bisected; offset-0 slices are fine). The
+        # pivot extractions in the chol/solve bodies dodge it the same way.
+        cand = jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
         best_v, best_psi = vT, psi0
         for i in range(4):
-            pi_ = psis[:, i : i + 1, :]
+            sel = (cand == i).astype(jnp.float32)
+            pi_ = jnp.sum(psis * sel, axis=1, keepdims=True)  # [B, 1, 1]
+            vi_ = jnp.sum(Vt * sel, axis=1, keepdims=True)  # [B, 1, 128]
             take = (
                 pi_ >= best_psi - tie_tol if i == 0 else pi_ > best_psi
             )
-            best_v = jnp.where(take, Vt[:, i : i + 1, :], best_v)
+            best_v = jnp.where(take, vi_, best_v)
             best_psi = jnp.where(take, pi_, best_psi)
         return best_v
 
