@@ -300,12 +300,25 @@ def sample(
     initial_step_size=0.1,
     target_accept=0.8,
     adapt_mass=True,
+    adapt_max_depth=True,
     mesh=None,
 ):
     """Run NUTS on `log_prob` (theta [dim] -> scalar).
 
     init: [num_chains, dim]. Returns NUTSResult with samples
     [num_samples, num_chains, dim]. Chains shard over mesh's 'chain' axis.
+
+    adapt_max_depth: under SIMD lockstep every chain pays the full
+    2^max_tree_depth leapfrog budget whether its U-turn came early or not
+    — on easy geometry a depth-8 budget wastes ~every doubling (measured
+    47x behind ChEES on ESS/s, docs/PERF.md §Sampling). When True
+    (default), the second half of warmup records the tree depths chains
+    ACTUALLY reach and the sampling phase recompiles its kernel with
+    max_depth = that distribution's 90th percentile + 1 (clipped to
+    [2, max_tree_depth]). A depth cap never biases NUTS — the budgeted
+    kernel is a valid (just truncated) trajectory sampler either way, so
+    this trades nothing but the compile of one extra program. Hard
+    geometry that genuinely uses the full budget keeps it.
     """
     init = jnp.atleast_2d(jnp.asarray(init))
     num_chains, dim = init.shape
@@ -322,7 +335,7 @@ def sample(
             w_m2 / jnp.maximum(count - 1.0, 1.0),
             jnp.ones_like(w_m2),
         )
-        theta, logp, grad, accept, _ = v_kernel(
+        theta, logp, grad, accept, nsteps = v_kernel(
             theta, logp, grad, keys, eps, inv_mass_now
         )
         da = _da_update(da, accept, target=target_accept)
@@ -330,24 +343,15 @@ def sample(
         delta = theta - w_mean
         w_mean = w_mean + delta / count
         w_m2 = w_m2 + delta * (theta - w_mean)
-        return (theta, logp, grad, da, w_mean, w_m2, count), accept
+        return (theta, logp, grad, da, w_mean, w_m2, count), nsteps
 
-    def sample_step(carry, key):
-        theta, logp, grad, eps, inv_mass = carry
-        keys = jax.random.split(key, num_chains)
-        theta, logp, grad, accept, nsteps = v_kernel(
-            theta, logp, grad, keys, eps, inv_mass
-        )
-        return (theta, logp, grad, eps, inv_mass), (theta, accept, nsteps)
-
-    def run(init, key):
+    def run_warmup(init, k_warm):
         logp0, grad0 = jax.vmap(vg)(init)
-        k_warm, k_samp = jax.random.split(key)
         da = _da_init(jnp.full((num_chains,), initial_step_size))
         w_mean = jnp.zeros((num_chains, dim))
         w_m2 = jnp.zeros((num_chains, dim))
         carry = (init, logp0, grad0, da, w_mean, w_m2, jnp.zeros(()))
-        carry, _ = jax.lax.scan(
+        carry, warm_nsteps = jax.lax.scan(
             warmup_step, carry, jax.random.split(k_warm, num_warmup)
         )
         theta, logp, grad, da, w_mean, w_m2, count = carry
@@ -357,24 +361,66 @@ def sample(
             inv_mass = jnp.where(var > 0, var, 1.0)
         else:
             inv_mass = jnp.ones((num_chains, dim))
-        carry = (theta, logp, grad, eps, inv_mass)
-        carry, (samples, accept, nsteps) = jax.lax.scan(
-            sample_step, carry, jax.random.split(k_samp, num_samples)
-        )
-        theta, logp, grad, eps, inv_mass = carry
-        return NUTSResult(samples, accept, nsteps, eps, inv_mass, logp)
+        return theta, logp, grad, eps, inv_mass, warm_nsteps
 
+    def make_run_sampling(depth):
+        kern = (
+            v_kernel
+            if depth == max_tree_depth
+            else jax.vmap(_nuts_kernel(vg, depth), in_axes=(0, 0, 0, 0, 0, 0))
+        )
+
+        def sample_step(carry, key):
+            theta, logp, grad, eps, inv_mass = carry
+            keys = jax.random.split(key, num_chains)
+            theta, logp, grad, accept, nsteps = kern(
+                theta, logp, grad, keys, eps, inv_mass
+            )
+            return (theta, logp, grad, eps, inv_mass), (theta, accept, nsteps)
+
+        def run_sampling(theta, logp, grad, eps, inv_mass, k_samp):
+            carry = (theta, logp, grad, eps, inv_mass)
+            carry, (samples, accept, nsteps) = jax.lax.scan(
+                sample_step, carry, jax.random.split(k_samp, num_samples)
+            )
+            theta, logp, grad, eps, inv_mass = carry
+            return NUTSResult(samples, accept, nsteps, eps, inv_mass, logp)
+
+        return run_sampling
+
+    k_warm, k_samp = jax.random.split(key)
     if mesh is not None:
         from ..parallel.mesh import CHAIN_AXIS
 
         chain2 = NamedSharding(mesh, P(None, CHAIN_AXIS))
         chain1 = NamedSharding(mesh, P(CHAIN_AXIS))
         init = jax.device_put(init, chain1)
-        run_c = jax.jit(
-            run,
+        # chain axis is dim 0 for all per-chain state (P('chain') leaves
+        # trailing dims replicated); warm_nsteps is [num_warmup, chains]
+        warm = jax.jit(
+            run_warmup,
+            out_shardings=(chain1, chain1, chain1, chain1, chain1, chain2),
+        )(init, k_warm)
+    else:
+        warm = jax.jit(run_warmup)(init, k_warm)
+    theta, logp, grad, eps, inv_mass, warm_nsteps = warm
+
+    depth = max_tree_depth
+    if adapt_max_depth and num_warmup >= 20:
+        # second-half warmup tree sizes -> the depth the chains actually
+        # use; nsteps ~ 2^d - 1 at a depth-d U-turn
+        tail = np.asarray(warm_nsteps)[num_warmup // 2 :]
+        q90 = float(np.quantile(tail, 0.9))
+        depth = int(np.clip(int(np.ceil(np.log2(q90 + 1.0))) + 1, 2,
+                            max_tree_depth))
+
+    run_sampling = make_run_sampling(depth)
+    if mesh is not None:
+        run_s = jax.jit(
+            run_sampling,
             out_shardings=NUTSResult(
                 chain2, chain2, chain2, chain1, chain1, chain1
             ),
         )
-        return run_c(init, key)
-    return jax.jit(run)(init, key)
+        return run_s(theta, logp, grad, eps, inv_mass, k_samp)
+    return jax.jit(run_sampling)(theta, logp, grad, eps, inv_mass, k_samp)
