@@ -29,3 +29,18 @@ def _seed():
     reference's tf.set_random_seed(0) + np.random.RandomState(0) pattern."""
     hb.set_seed(0)
     yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_cache():
+    """Clear jax's in-process executable caches between test MODULES.
+
+    The full suite runs ~540 tests (hundreds of distinct compiles) in one
+    process; by the ~530th test XLA's CPU compiler segfaulted inside
+    `backend_compile_and_load` on a program that compiles fine standalone
+    (reproduced twice at the same spot, round 5). Per-module clearing
+    bounds the accumulated compiler/executable state; tests share compiled
+    programs WITHIN a module, so the re-compile cost across 39 modules is
+    small next to the suite's runtime."""
+    yield
+    jax.clear_caches()
