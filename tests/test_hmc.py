@@ -94,7 +94,7 @@ class TestModelLogProb:
         assert abs(x[:, b_idx].mean() - 2.0) < 0.1
         # write-back
         flp.set_model_state(jnp.asarray(x.mean(0)))
-        assert abs(float(m.a.value) - 1.0) < 0.1
+        assert abs(np.asarray(m.a.value).reshape(()).item() - 1.0) < 0.1
 
     def test_transform_jacobian_included(self):
         """A positive-transformed variance parameter sampled in free space:
