@@ -73,7 +73,8 @@ def main(argv=None):
     print("3-class bound:     grid accuracy %.3f (deterministic)" % acc_b)
 
     # the evidence-trained multiclass path (softmax Laplace, no variational
-    # parameters at all; see the engine docstring for its f32 envelope)
+    # parameters at all; the square-root engine scales to n=1e5 m=128 —
+    # benchmarks/multiclass_scale_bench.py)
     ml = models.SparseGPMulticlass(seed=0, X=X, Y=labels, num_classes=3,
                                    num_inducing=48)
     ml.log_marginal_laplace().compile(optax.adam(0.05)).optimize(

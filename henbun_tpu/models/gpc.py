@@ -374,14 +374,17 @@ class SparseGPMulticlass(hb.model.Model):
     (with z = X and float64 it IS that oracle; pinned).
 
     The softmax couples classes per point (GPML ch. 3.5 block curvature),
-    so this rides the dedicated `multiclass_laplace_projected` engine:
-    (K m) x (K m) factorizations built from K^2 blocks of A^T diag(w) A.
-    Labels Y are integer class indices [n, 1]. Train FULL-BATCH (see
-    SparseGPC's note) and mind the engine's f32 envelope (its docstring:
-    keep n * k_var below ~2e5 per class — measured clean at n=3e4, NaN at
-    n=1e5 where H's unit floor falls below f32 entry resolution; the
-    binary/robust engines' scalar-W systems are materially better
-    conditioned and run n=1e5 fine)."""
+    so this rides the dedicated `multiclass_laplace_projected` engine —
+    which since round 5 works entirely on the curvature's SQUARE-ROOT
+    factor (shifted CholeskyQR2, never forming I + A^T W A), so the old
+    n * k_var ~ 2e5 f32 wall is GONE: the formerly-NaN n=1e5, m=128, K=3
+    workload trains 500 steps clean on chip
+    (`benchmarks/multiclass_scale_bench.py`), and accuracy vs a float64
+    oracle degrades gracefully only past n * k_var ~ 1e7 (docs/PERF.md
+    §Multiclass square-root envelope). Labels Y are integer class indices
+    [n, 1]. Train FULL-BATCH (see SparseGPC's note); full-batch steps at
+    n=1e5 are ~0.24 s of device time — cap `settings.tpu.scan_chunk` on
+    remote-execution-budgeted environments."""
 
     def setUp(self, X, Y, num_classes, num_inducing=64, kern=None,
               newton_iters=15, train_z=False, z_penalty=None, z_init=None):
