@@ -9,8 +9,11 @@ TPU pay a generic while-loop + dynamic-slice panel pipeline at percent-level
 MFU (docs/PERF.md §Roofline) while the trailing updates are pure MXU work.
 
 Blocked right-looking algorithms with the O(n^3) terms as XLA matmuls and
-the serial substitution confined to `pallas_wide` wide-RHS kernels (one
-in-VMEM chain per 128-panel, all RHS columns vectorized on lanes):
+the serial substitution confined to the Pallas vectorized-batch solve
+(`pallas_solve.tri_solve128_vbatched` — RHS column blocks ride the batch
+axis, one in-VMEM chain per 128-panel; the alternative single-block
+wide-RHS kernels in `ops/pallas_wide.py` measured slower, see
+`_diag_solve`):
 
 * `blocked_cholesky` — works in the UPPER-factor world so the SYMMETRY of
   the input provides every panel transpose for free: the panel right-hand
@@ -39,7 +42,6 @@ import jax.numpy as jnp
 from .._settings import settings
 
 _NB = 128
-_MAX_WIDE = 8192
 
 
 def _use_pallas_panels():
