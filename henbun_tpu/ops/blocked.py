@@ -15,13 +15,11 @@ axis, one in-VMEM chain per 128-panel; the alternative single-block
 wide-RHS kernels in `ops/pallas_wide.py` measured slower, see
 `_diag_solve`):
 
-* `blocked_cholesky` — works in the UPPER-factor world so the SYMMETRY of
-  the input provides every panel transpose for free: the panel right-hand
-  side A21^T is the row slice T[:128, 128:] of the (symmetric) trailing
-  matrix, the factor rows assemble as U = L^T, and the single transpose
-  back to L happens once at the end. Trailing Schur updates contract the
-  sublane axis of the solved panel with itself — one MXU matmul per step
-  on the shrinking remainder.
+* `blocked_cholesky` — right-looking; the SYMMETRY of the input provides
+  the panel right-hand side A21^T for free as the row slice
+  T[:128, 128:] of the trailing matrix, and each trailing Schur update is
+  one MXU matmul on the shrinking remainder (see the function docstring
+  for the measured layout verdicts).
 * `blocked_tri_solve` — forward (L X = B) or transposed (L^T X = B)
   substitution over 128-row blocks: wide-RHS diagonal solves + one MXU
   GEMM correction per step. The transposed variant hoists ONE full
@@ -30,9 +28,14 @@ wide-RHS kernels in `ops/pallas_wide.py` measured slower, see
 
 Static Python loops over blocks (n is static under jit), float32, TPU; on
 CPU (the test mesh) the panel solves fall back to XLA's solve_triangular so
-the same code path is testable everywhere. Gated behind size thresholds in
-`ops.linalg`'s dispatches — small matrices keep XLA, which is at the
-latency floor there.
+the same code path is testable everywhere.
+
+STATUS: a measured EXPERIMENT, not a dispatch — `safe_cholesky` was
+briefly routed here for n >= 2048 and reverted the same round: the chol
+speedup vs XLA scattered 0.73x-1.45x across v5e sessions and the
+end-to-end exact-gram evidence step never won (full numbers in
+docs/PERF.md §Roofline's kill verdict). Kept with its tests for future
+attempts; call directly.
 """
 from __future__ import annotations
 
